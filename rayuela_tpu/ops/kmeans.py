@@ -78,25 +78,40 @@ def kmeanspp_init(key: Array, X: Array, k: int) -> Array:
     return centers
 
 
-def _lloyd_step(X: Array, centers: Array) -> tuple[Array, Array, Array]:
-    """One Lloyd iteration with deterministic empty-cluster repick."""
-    k = centers.shape[0]
-    a, mind2 = assign(X, centers)
+def update_centers(X: Array, a: Array, k: int, old_centers: Array,
+                   costs: Array | None = None, repick: bool = True) -> Array:
+    """Center update from assignments: per-cluster means via one-hot-matmul
+    sufficient statistics; clusters with no members keep their old value,
+    or — with ``repick`` — are re-seeded with the currently most costly
+    points (each empty cluster gets a distinct candidate, ranked by cost).
+
+    Semantics of ``Clustering.update_centers!`` +
+    ``repick_unused_centers`` as used at reference `src/ERVQ.jl:86-109`
+    (deterministic repick — statistical parity, SURVEY.md §7).
+    """
     oh = one_hot(a, k, dtype=jnp.float32)                       # exact {0,1}
     counts = jnp.sum(oh, axis=0)                                # (k,)
     sums = jnp.matmul(oh.T, X, preferred_element_type=jnp.float32)
     new_centers = jnp.where(
         (counts > 0)[:, None], sums / jnp.maximum(counts, 1.0)[:, None],
-        centers)
-
-    # Repick empty clusters as the current most-costly points (each empty
-    # cluster gets a distinct candidate, ranked by cost).
-    _, top_idx = lax.top_k(mind2, k)
+        old_centers)
+    if not repick:
+        return new_centers
+    if costs is None:
+        costs = jnp.sum((X - jnp.take(new_centers, a, axis=0)) ** 2, axis=-1)
+    _, top_idx = lax.top_k(costs, k)
     cand = jnp.take(X, top_idx, axis=0)                         # (k, d)
     empty = counts == 0
     rank = jnp.cumsum(empty.astype(jnp.int32)) - 1              # (k,)
-    new_centers = jnp.where(empty[:, None], jnp.take(cand, rank, axis=0),
-                            new_centers)
+    return jnp.where(empty[:, None], jnp.take(cand, rank, axis=0),
+                     new_centers)
+
+
+def _lloyd_step(X: Array, centers: Array) -> tuple[Array, Array, Array]:
+    """One Lloyd iteration with deterministic empty-cluster repick."""
+    k = centers.shape[0]
+    a, mind2 = assign(X, centers)
+    new_centers = update_centers(X, a, k, centers, costs=mind2)
     return new_centers, a, jnp.mean(mind2)
 
 
