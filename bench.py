@@ -1,0 +1,71 @@
+"""Headline benchmark: ADC linear-scan queries/s, SIFT1M protocol shape.
+
+Measures the deployment hot path (reference: `src/Linscan.jl:5-26` →
+`deps/src/linscan_aqd.cpp:37-102`, OpenMP over queries) on one TPU chip:
+n=1e6 base codes, m=8 codebooks, h=256, d=128, nquery=10_000, knn=1000 —
+the exact SIFT1M 64-bit protocol of
+`demos/demos_train_query_base.jl:15-19`.
+
+The reference publishes no throughput numbers (BASELINE.md); the
+`vs_baseline` divisor is an estimate of its C++ OpenMP scan on a modern
+16-core CPU: each query streams n*m = 8 MB of codes with a
+table-lookup-accumulate plus a buffered partial_sort — ~2,000 queries/s
+end-to-end. Treat it as an order-of-magnitude anchor, not a measurement.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_QPS = 2000.0  # documented estimate; see module docstring
+
+N, D, M, H = 1_000_000, 128, 8, 256
+NQ, KNN = 10_000, 1000
+QCHUNK = 2_000
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rayuela_tpu.search.linscan import scan_topk
+
+    rng = np.random.default_rng(0)
+    C = jnp.asarray(rng.standard_normal((M, H, D // M)), jnp.float32)
+    B = jnp.asarray(rng.integers(0, H, size=(N, M)), jnp.int32)
+    Q = jnp.asarray(rng.standard_normal((NQ, D)), jnp.float32)
+    jax.block_until_ready((C, B, Q))
+
+    scan = jax.jit(
+        lambda q, c, b: scan_topk(q, c, b, k=KNN, pq=True, tile=1 << 16))
+
+    # Warm-up / compile on the first chunk; force full materialization
+    # (a host fetch, not just block_until_ready — the axon tunnel queues
+    # work beyond what block_until_ready observes).
+    out = scan(Q[:QCHUNK], C, B)
+    _ = np.asarray(out[0])
+
+    t0 = time.perf_counter()
+    outs = []
+    for s in range(0, NQ, QCHUNK):
+        outs.append(scan(Q[s:s + QCHUNK], C, B))
+    jax.block_until_ready(outs)
+    _ = np.asarray(outs[-1][0][0, 0])  # hard sync through the tunnel
+    dt = time.perf_counter() - t0
+
+    qps = NQ / dt
+    print(json.dumps({
+        "metric": "adc_scan_qps_sift1m_m8_knn1000",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

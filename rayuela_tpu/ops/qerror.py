@@ -31,6 +31,7 @@ def reconstruct(C: Array, B: Array) -> Array:
     Full-dimensional methods (RVQ/ERVQ/ChainQ/LSQ/SR). Reference
     `src/qerrors.jl:6-25`.
     """
+    C, B = jnp.asarray(C), jnp.asarray(B)
     m = C.shape[0]
 
     def body(i, acc):

@@ -1,0 +1,136 @@
+"""Device-mesh layout and sharded execution for the MCQ engine.
+
+The reference's complete parallelism inventory (SURVEY.md §2.5 —
+Julia ``Distributed`` workers + ``SharedArrays`` on one machine,
+OpenMP threads inside the C++ kernels) maps here to one idiom:
+a `jax.sharding.Mesh` with named axes and GSPMD partitioning.
+
+Axes:
+  * ``data``  — the n axis (training vectors / base-set codes). All
+    training statistics (k-means counts/sums, fastbin B^T B / B^T X,
+    objectives) are sums over n, so XLA inserts `psum` over ICI when X
+    is sharded on ``data``.
+  * ``model`` — the m axis (codebooks / subspaces). PQ/OPQ train m
+    independent quantizers; sharding the leading vmap axis over
+    ``model`` is tensor parallelism with zero communication.
+
+Search: base codes sharded on ``data``, queries replicated; each shard
+scans locally and keeps a local top-k; the (nq, k) partial lists
+all-gather and merge — k ≪ n, so the collective is tiny (SURVEY.md
+§2.5 north-star mapping).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devices.size // n_model
+    devices = devices[: n_data * n_model].reshape(n_data, n_model)
+    return Mesh(devices, ("data", "model"))
+
+
+def shard_data(mesh: Mesh, x: Array, axis: int = 0) -> Array:
+    """Place ``x`` sharded along ``axis`` over the ``data`` mesh axis."""
+    spec = [None] * x.ndim
+    spec[axis] = "data"
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def replicate(mesh: Mesh, x: Array) -> Array:
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def pad_to_multiple(x: Array, mult: int, axis: int = 0, fill=0):
+    """Pad ``x`` along ``axis`` to a multiple of ``mult`` (shard-evenly)."""
+    n = x.shape[axis]
+    pad = -n % mult
+    if pad == 0:
+        return x, n
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg, constant_values=fill), n
+
+
+def sharded_scan_topk(mesh: Mesh, Q: Array, C: Array, B: Array, *,
+                      k: int, pq: bool = False,
+                      norm_term: Array | None = None,
+                      tile: int = 1 << 14):
+    """Data-parallel ADC scan: codes sharded over ``data``, queries
+    replicated; local top-k per shard, then a top-k merge of the
+    all-gathered partial lists (exact — the global top-k is contained in
+    the union of per-shard top-k).
+
+    TPU-native replacement for the reference's OpenMP scan over one
+    host's memory (`deps/src/linscan_aqd.cpp:55-61`); the merge is the
+    all-gather step of SURVEY.md §2.5.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from rayuela_tpu.search.linscan import scan_topk
+
+    ndata = mesh.shape["data"]
+    Bp, n = pad_to_multiple(B, ndata)
+    shard_n = Bp.shape[0] // ndata
+    have_norms = norm_term is not None
+    if have_norms:
+        nt, _ = pad_to_multiple(norm_term, ndata, fill=jnp.inf)
+    else:  # placeholder so the shard_map signature is static
+        nt = jnp.zeros((Bp.shape[0],), jnp.float32)
+
+    # Padded rows decode to finite scores; requesting `pad` extra local
+    # candidates keeps the merge exact even if fake rows rank high.
+    klocal = min(k + (Bp.shape[0] - n), shard_n)
+
+    def local(Q, C, B, nt):
+        # Each shard scans its slice; ids are local → offset by shard.
+        d, i = scan_topk(Q, C, B, k=klocal, pq=pq,
+                         norm_term=nt if have_norms else None, tile=tile)
+        shard = jax.lax.axis_index("data")
+        i = i + shard * shard_n
+        d = jnp.where(i < n, d, jnp.inf)
+        # All-gather partial lists along the k axis, merge with top_k.
+        dg = jax.lax.all_gather(d, "data", axis=1, tiled=True)  # (nq, P*k)
+        ig = jax.lax.all_gather(i, "data", axis=1, tiled=True)
+        neg, loc = jax.lax.top_k(-dg, k)
+        return -neg, jnp.take_along_axis(ig, loc, axis=1)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P("data", None), P("data")),
+                   out_specs=(P(), P()), check_rep=False)
+    return jax.jit(fn)(Q, C, Bp, nt)
+
+
+@partial(jax.jit, static_argnames=("h",), donate_argnums=(1,))
+def pq_lloyd_step_sharded(Xs: Array, centers: Array, h: int):
+    """One data-parallel + model-parallel Lloyd step over all m subspace
+    quantizers at once.
+
+    ``Xs``: (m, n, ds) — n sharded over ``data``, m over ``model``.
+    ``centers``: (m, h, ds) — m sharded over ``model``.
+
+    The sufficient statistics (one-hot counts and sums) are sums over
+    the sharded n axis, so GSPMD lowers the center update to local
+    matmuls + `psum` over ICI — the TPU equivalent of the reference
+    farming chunks to Julia workers (`src/codebook_update.jl:258-270`).
+    """
+    from rayuela_tpu.ops.kmeans import assign, update_centers
+
+    def step(X, c):
+        a, mind2 = assign(X, c)
+        return update_centers(X, a, h, c, costs=mind2), jnp.sum(mind2)
+
+    new_centers, obj = jax.vmap(step)(Xs, centers)
+    return new_centers, jnp.sum(obj) / (Xs.shape[0] * Xs.shape[1])

@@ -1,0 +1,88 @@
+"""Codebook-update equivalence tests.
+
+Mirrors the reference's cross-implementation strategy
+(`test/chainq.jl:2-23`: fastbin-LU vs explicit-inverse; chain LSQR vs
+chain blockwise) — here: chunked one-hot-matmul statistics vs a dense
+numpy solve of the same ridge system.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_dataset
+
+
+def dense_stats(X, B, h):
+    n, m = B.shape
+    U = np.zeros((n, m * h), np.float32)
+    for i in range(m):
+        U[np.arange(n), i * h + B[:, i]] = 1.0
+    return U.T @ U, U.T @ X
+
+
+def test_stats_match_dense(rng):
+    from rayuela_tpu.ops.codebook_update import codebook_stats
+    X, _, B = random_dataset(rng, d=24, n=533, m=4, h=16)
+    G, F = codebook_stats(X, B, h=16, chunk=128)
+    Gd, Fd = dense_stats(X, B, 16)
+    np.testing.assert_allclose(np.asarray(G), Gd, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(F), Fd, atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["fastbin", "lsqr"])
+def test_update_matches_dense_ridge(rng, method):
+    from rayuela_tpu.ops.codebook_update import update_codebooks
+    h, rho = 16, 1e-4
+    X, _, B = random_dataset(rng, d=24, n=800, m=4, h=h)
+    C = update_codebooks(X, B, h=h, method=method, chunk=256)
+    Gd, Fd = dense_stats(X, B, h)
+    Cd = np.linalg.solve(Gd + rho * np.eye(4 * h, dtype=np.float32), Fd)
+    np.testing.assert_allclose(
+        np.asarray(C).reshape(4 * h, 24), Cd, rtol=2e-2, atol=2e-2)
+
+
+def test_update_reduces_qerror(rng):
+    """The solved codebooks must beat random ones on the LS objective."""
+    from rayuela_tpu.ops.codebook_update import update_codebooks
+    from rayuela_tpu.ops.qerror import qerror
+    X, C0, B = random_dataset(rng, d=16, n=600, m=4, h=16)
+    C = update_codebooks(X, B, h=16, chunk=256)
+    assert float(qerror(X, C, B)) < float(qerror(X, C0, B))
+
+
+def test_chain_solution_has_chain_support(rng):
+    from rayuela_tpu.ops.codebook_update import (chain_dims,
+                                                 update_codebooks_chain)
+    d, m, h = 26, 4, 16  # uneven split: 26 dims over 3 ranges
+    X, _, B = random_dataset(rng, d=d, n=700, m=m, h=h)
+    C = np.asarray(update_codebooks_chain(X, B, h=h, chunk=256))
+    sub = chain_dims(d, m)
+    # codebook i spans ranges i-1 and i; zero elsewhere
+    for i in range(m):
+        active = np.zeros(d, bool)
+        for r in ([i - 1] if i > 0 else []) + ([i] if i < m - 1 else []):
+            st, sz = sub[r]
+            active[st:st + sz] = True
+        assert np.allclose(C[i][:, ~active], 0.0)
+        assert not np.allclose(C[i][:, active], 0.0)
+
+
+def test_chain_matches_full_solve_on_chain_dims(rng):
+    """For dims in range i, the chain solve must equal the dense ridge
+    solve restricted to codebooks (i, i+1) — the decoupling the
+    reference's blockwise method exploits."""
+    from rayuela_tpu.ops.codebook_update import (chain_dims,
+                                                 update_codebooks_chain)
+    d, m, h, rho = 24, 4, 16, 1e-4
+    X, _, B = random_dataset(rng, d=d, n=900, m=m, h=h)
+    C = np.asarray(update_codebooks_chain(X, B, h=h, chunk=256))
+    Gd, Fd = dense_stats(X, B, h)
+    sub = chain_dims(d, m)
+    for i, (st, sz) in enumerate(sub):
+        blk = slice(i * h, (i + 2) * h)
+        A = Gd[blk, blk] + rho * np.eye(2 * h, dtype=np.float32)
+        sol = np.linalg.solve(A, Fd[blk, st:st + sz])
+        np.testing.assert_allclose(C[i][:, st:st + sz], sol[:h],
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(C[i + 1][:, st:st + sz], sol[h:],
+                                   rtol=2e-2, atol=2e-2)
