@@ -1,0 +1,154 @@
+"""ILS/ICM encoding for fully-connected MCQ (LSQ / LSQ++).
+
+Equivalent of the reference's three ICM implementations — Julia
+``iterated_conditional_modes!`` (`src/LSQ.jl:83-149`), C++ ``condition``
+(`deps/src/encode_icm.cpp:3-61`), and the CUDA stack ``perturb`` /
+``condition_icm3`` / ``veccost2`` (`deps/src/cudautils.cu:27-80,
+334-437, 85-183`) — as one batched, jit-compiled formulation:
+
+* unaries for a chunk come from one (nc, d) x (d, m*h) gemm (MXU);
+* one ICM conditioning step for node i gathers, for every other
+  codebook j, the row ``binaries[j, i][B_j]`` — an (nc, m, h) gather
+  from (m*h, h) tables that fit comfortably in VMEM — then a 256-lane
+  argmin (VPU). This keeps the reference's O(n m^2 h) arithmetic
+  instead of inflating it h-fold into one-hot matmuls;
+* the ILS wrapper perturbs ``npert`` positions per vector (sampled
+  with replacement, matching ``perturb_codes!`` `src/LSQ.jl:5-39`),
+  draws ONE random node order per ILS round shared by all vectors
+  (`src/LSQ.jl:218-221`), runs ``icmiter`` sweeps, and accepts per
+  vector only strictly-better codes (`src/LSQ.jl:240-248`).
+
+Vectors stream in fixed-size chunks (the reference GPU's ``nsplits``
+memory tiling, `src/LSQ_GPU.jl:218-264`). PRNG is explicit threefry key
+threading — statistical, not bitwise, parity with the reference's
+global RNGs (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rayuela_tpu.ops.qerror import get_binaries
+from rayuela_tpu.utils import cdiv
+
+Array = jax.Array
+
+
+def _chunk_energy(u: Array, Bin: Array, B: Array) -> Array:
+    """Exact MRF energy per vector, up to the constant |x|^2:
+    sum_i u_i(B_i) + sum_{i<j} bin[i,j][B_i, B_j]. ``u``: (m, nc, h),
+    ``Bin``: (m, m, h, h) with diagonal zero, ``B``: (nc, m)."""
+    m, nc, h = u.shape
+    un = jnp.sum(jnp.take_along_axis(
+        u, jnp.transpose(B)[:, :, None], axis=2)[:, :, 0], axis=0)
+    # pairwise: gather bin[i, j][B_i, B_j] for all pairs (diag is zero);
+    # each unordered pair is counted twice, hence the 0.5
+    flat = Bin.reshape(m, m, h * h)
+    pair_idx = B[:, :, None] * h + B[:, None, :]          # (nc, m, m)
+    g = jax.vmap(lambda pi: flat[jnp.arange(m)[:, None],
+                                 jnp.arange(m)[None, :],
+                                 pi])(pair_idx)           # (nc, m, m)
+    return un + 0.5 * jnp.sum(g, axis=(1, 2))
+
+
+def _icm_sweeps(u: Array, T: Array, B: Array, order: Array,
+                icmiter: int) -> Array:
+    """``icmiter`` ICM sweeps over all m nodes in ``order``.
+
+    ``u``: (m, nc, h) unaries; ``T``: (m, m*h, h) where
+    ``T[i, j*h + a, b] = bin[j, i][a, b]`` (the conditioning tables for
+    node i, diagonal block zeroed); ``B``: (nc, m) current codes.
+    """
+    m, nc, h = u.shape
+    offs = jnp.arange(m, dtype=jnp.int32) * h             # (m,)
+
+    def node_step(t, B):
+        i = order[t]
+        Ti = lax.dynamic_index_in_dim(T, i, 0, keepdims=False)  # (mh, h)
+        rows = jnp.take(Ti, B + offs[None, :], axis=0)    # (nc, m, h)
+        cond = lax.dynamic_index_in_dim(u, i, 0, keepdims=False) \
+            + jnp.sum(rows, axis=1)                       # (nc, h)
+        newb = jnp.argmin(cond, axis=-1).astype(B.dtype)  # (nc,)
+        return jnp.where(jnp.arange(m)[None, :] == i, newb[:, None], B)
+
+    def sweep(_, B):
+        return lax.fori_loop(0, m, node_step, B)
+
+    return lax.fori_loop(0, icmiter, sweep, B)
+
+
+def _perturb(key: Array, B: Array, npert: int, h: int) -> Array:
+    """Perturb ``npert`` positions per vector (with replacement) to
+    uniform random codes — semantics of ``perturb_codes!``
+    (`src/LSQ.jl:5-39`) / CUDA ``perturb`` (`cudautils.cu:27-80`)."""
+    nc, m = B.shape
+    kp, kv = jax.random.split(key)
+    pos = jax.random.randint(kp, (nc, npert), 0, m)       # positions
+    val = jax.random.randint(kv, (nc, npert), 0, h).astype(B.dtype)
+    # sequential overwrite over the npert draws (last hit wins), as in
+    # the reference's scalar loop
+    out = B
+    for t in range(npert):
+        out = jnp.where(jnp.arange(m)[None, :] == pos[:, t:t + 1],
+                        val[:, t:t + 1], out)
+    return out
+
+
+@partial(jax.jit, static_argnames=("ilsiter", "icmiter", "npert",
+                                   "randord", "chunk"))
+def encoding_icm(key: Array, X: Array, C: Array, B0: Array, *,
+                 ilsiter: int = 8, icmiter: int = 4, npert: int = 4,
+                 randord: bool = True, chunk: int = 8192) -> Array:
+    """ILS-over-ICM encoding. Returns improved codes ``(n, m) int32``.
+
+    Reference ``encoding_icm`` / ``encode_icm_fully!``
+    (`src/LSQ.jl:152-294`); defaults are the reference experiment
+    settings (`demos/demos_train_query_base.jl:64-67`)."""
+    n, d = X.shape
+    m, h, _ = C.shape
+    nchunks = cdiv(n, chunk)
+    pad = nchunks * chunk - n
+    Xp = jnp.pad(X, ((0, pad), (0, 0)))
+    Bp = jnp.pad(B0.astype(jnp.int32), ((0, pad), (0, 0)))
+
+    Bin = get_binaries(C)                                 # (m, m, h, h)
+    eye = jnp.eye(m, dtype=Bin.dtype)
+    Bin = Bin * (1.0 - eye)[:, :, None, None]             # zero diagonal
+    # conditioning tables for node i: T[i] stacks bin[j, i] over j
+    T = jnp.transpose(Bin, (1, 0, 2, 3)).reshape(m, m * h, h)
+    c2 = jnp.sum(C * C, axis=-1)                          # (m, h)
+
+    # one ILS schedule (perturb keys + node orders) shared by all chunks
+    keys = jax.random.split(key, ilsiter + 1)
+    if randord:
+        orders = jnp.stack([jax.random.permutation(keys[t + 1], m)
+                            for t in range(ilsiter)]).astype(jnp.int32)
+    else:
+        orders = jnp.tile(jnp.arange(m, dtype=jnp.int32), (ilsiter, 1))
+    pkeys = jnp.stack([jax.random.fold_in(keys[0], t)
+                       for t in range(ilsiter)])
+
+    def encode_chunk(args):
+        Xc, Bc, ci = args
+        u = c2[:, None, :] - 2.0 * jnp.einsum(
+            "nd,mhd->mnh", Xc, C, preferred_element_type=jnp.float32)
+
+        def ils_round(t, B):
+            prev = _chunk_energy(u, Bin, B)
+            kb = jax.random.fold_in(pkeys[t], ci)
+            Bt = _perturb(kb, B, npert, h)
+            Bt = _icm_sweeps(u, T, Bt, orders[t], icmiter)
+            new = _chunk_energy(u, Bin, Bt)
+            return jnp.where((new < prev)[:, None], Bt, B)
+
+        return lax.fori_loop(0, ilsiter, ils_round, Bc)
+
+    Xcs = Xp.reshape(nchunks, chunk, d)
+    Bcs = Bp.reshape(nchunks, chunk, m)
+    out = lax.map(encode_chunk,
+                  (Xcs, Bcs, jnp.arange(nchunks, dtype=jnp.int32)))
+    return out.reshape(-1, m)[:n]
