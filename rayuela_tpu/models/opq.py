@@ -24,6 +24,7 @@ from jax import lax
 
 from rayuela_tpu.models.pq import PQModel, _split_subspaces
 from rayuela_tpu.ops.kmeans import assign
+from rayuela_tpu.ops.qerror import reconstruct_pq
 from rayuela_tpu.utils import gather_rows, one_hot
 
 Array = jax.Array
@@ -80,8 +81,7 @@ def train_opq(key: Array, X: Array, m: int, h: int = 256,
     def body(it, state):
         C, B, R, obj = state
         # decode in rotated space, (n, d)
-        Xhat = jax.vmap(gather_rows)(C, B)                # (m, n, ds)
-        Xhat = jnp.transpose(Xhat, (1, 0, 2)).reshape(n, d)
+        Xhat = reconstruct_pq(C, jnp.transpose(B), d)
         Xr = jnp.matmul(X, R, preferred_element_type=jnp.float32)
         obj = obj.at[it].set(jnp.mean(jnp.sum((Xr - Xhat) ** 2, axis=-1)))
         # rotation update: R = U V^T from svd(X^T Xhat)
@@ -99,8 +99,7 @@ def train_opq(key: Array, X: Array, m: int, h: int = 256,
     C, B, R, obj = lax.fori_loop(0, niter, body, (C0, B0, R, obj0))
 
     # final objective
-    Xhat = jax.vmap(gather_rows)(C, B)
-    Xhat = jnp.transpose(Xhat, (1, 0, 2)).reshape(n, d)
+    Xhat = reconstruct_pq(C, jnp.transpose(B), d)
     Xr = jnp.matmul(X, R, preferred_element_type=jnp.float32)
     obj = obj.at[niter].set(jnp.mean(jnp.sum((Xr - Xhat) ** 2, axis=-1)))
 

@@ -29,16 +29,22 @@ class PQModel(NamedTuple):
 
 
 def _split_subspaces(X: Array, m: int) -> Array:
-    """(n, d) → (m, n, d//m) contiguous subspaces.
+    """(n, d) → (m, n, ceil(d/m)) contiguous subspaces.
 
-    Reference uses balanced ``splitarray(1:d, m)`` (`src/PQ.jl:29,80`);
-    we require d % m == 0 (true for every dataset in the reference
-    protocol: SIFT 128, GIST 960, Deep 96/256, MNIST 784 with m ∈
-    {8, 16})."""
+    Balanced ranges like the reference's ``splitarray(1:d, m)``
+    (`src/PQ.jl:29,80`). When d % m != 0 (e.g. the non-orthogonal
+    protocol's m-1=7 codebooks on SIFT d=128), shorter subspaces are
+    zero-padded to the common width — exact for every consumer, since
+    zero dims contribute zero to distances and stay zero under k-means
+    center means."""
     n, d = X.shape
-    if d % m != 0:
-        raise ValueError(f"d={d} not divisible by m={m}")
-    return jnp.transpose(X.reshape(n, m, d // m), (1, 0, 2))
+    if d % m == 0:
+        return jnp.transpose(X.reshape(n, m, d // m), (1, 0, 2))
+    from rayuela_tpu.utils import cdiv, splitarray
+    ds = cdiv(d, m)
+    subs = [jnp.pad(X[:, st:st + sz], ((0, 0), (0, ds - sz)))
+            for st, sz in splitarray(d, m)]
+    return jnp.stack(subs)
 
 
 def train_pq(key: Array, X: Array, m: int, h: int = 256,

@@ -41,12 +41,21 @@ def reconstruct(C: Array, B: Array) -> Array:
     return lax.fori_loop(0, m, body, jnp.zeros((n, d), C.dtype))
 
 
-def reconstruct_pq(C: Array, B: Array) -> Array:
+def reconstruct_pq(C: Array, B: Array, d: int | None = None) -> Array:
     """Concatenative decode for per-subspace codebooks ``C (m, h, ds)``
-    → (n, m*ds). Reference `src/qerrors.jl:26-33` (cell-array path)."""
+    → (n, d). Reference `src/qerrors.jl:26-33` (cell-array path).
+
+    With ``d`` given and d % m != 0, subspaces are the balanced uneven
+    ranges of ``splitarray`` and each codebook's trailing zero-padding
+    is dropped (see `models.pq._split_subspaces`)."""
     sub = jax.vmap(gather_rows, in_axes=(0, 1))(C, B)   # (m, n, ds)
     n = B.shape[0]
-    return jnp.transpose(sub, (1, 0, 2)).reshape(n, -1)
+    m, _, ds = C.shape
+    if d is None or d == m * ds:
+        return jnp.transpose(sub, (1, 0, 2)).reshape(n, -1)
+    from rayuela_tpu.utils import splitarray
+    parts = [sub[i][:, :sz] for i, (_, sz) in enumerate(splitarray(d, m))]
+    return jnp.concatenate(parts, axis=1)
 
 
 def veccost(X: Array, C: Array, B: Array, *, pq: bool = False) -> Array:
@@ -54,7 +63,7 @@ def veccost(X: Array, C: Array, B: Array, *, pq: bool = False) -> Array:
 
     Reference `src/qerrors.jl:36-66` (devectorized SIMD loop there; a
     fused gemm + VPU reduction here)."""
-    Xr = reconstruct_pq(C, B) if pq else reconstruct(C, B)
+    Xr = reconstruct_pq(C, B, X.shape[1]) if pq else reconstruct(C, B)
     e = X - Xr
     return jnp.sum(e * e, axis=-1)
 

@@ -84,7 +84,8 @@ def scan_topk(Q: Array, C: Array, B: Array, *, k: int,
 
     def tile_fn(args):
         Bt, start, ntt = args
-        Xh = reconstruct_pq(C, Bt) if pq else reconstruct(C, Bt)  # (tile,d)
+        Xh = reconstruct_pq(C, Bt, Q.shape[1]) if pq \
+            else reconstruct(C, Bt)                               # (tile,d)
         qx = jnp.matmul(Q, Xh.T, preferred_element_type=jnp.float32)
         x2 = jnp.sum(Xh * Xh, axis=-1) if ntt is None else ntt
         scores = q2 - 2.0 * qx + x2[None, :]                      # (nq,tile)

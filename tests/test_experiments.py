@@ -1,0 +1,83 @@
+"""Experiments layer: store roundtrip, dataset catalog, end-to-end
+driver protocol on a tiny synthetic dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.conftest import random_dataset
+
+
+def test_store_roundtrip(tmp_path, rng):
+    from rayuela_tpu.experiments.store import (list_trials, load_results,
+                                               save_results)
+    X, C, B = random_dataset(rng, d=8, n=50, m=3, h=16)
+    path = str(tmp_path / "r.h5")
+    R = np.eye(8, dtype=np.float32)
+    rec = rng.random(100).astype(np.float32)
+    save_results(path, 0, C=C, B=B, train_error=1.5, R=R, B_base=B,
+                 recall=rec)
+    save_results(path, 3, C=C, B=B, train_error=2.5)
+    assert list_trials(path) == [0, 3]
+    out = load_results(path, 0)
+    np.testing.assert_allclose(out["C"], C)
+    np.testing.assert_array_equal(out["B"], B)
+    assert out["B"].dtype == np.int32
+    np.testing.assert_allclose(out["R"], R)
+    np.testing.assert_allclose(out["recall"], rec)
+    assert out["train_error"] == np.float32(1.5)
+    # overwrite
+    save_results(path, 0, C=C, B=B, train_error=9.0)
+    assert load_results(path, 0)["train_error"] == np.float32(9.0)
+
+
+def test_store_rejects_wide_codes(tmp_path, rng):
+    from rayuela_tpu.experiments.store import save_results
+    X, C, B = random_dataset(rng, d=8, n=10, m=2, h=16)
+    B = B.astype(np.int32) + 300
+    with pytest.raises(ValueError):
+        save_results(str(tmp_path / "x.h5"), 0, C=C, B=B, train_error=0.0)
+
+
+def test_synthetic_dataset_gt_is_exact():
+    from rayuela_tpu.experiments.datasets import make_synthetic
+    ds = make_synthetic(d=16, ntrain=100, nbase=2000, nquery=50, seed=3)
+    d2 = ((ds.Xq[:, None, :] - ds.Xb[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(ds.gt, np.argmin(d2, axis=1))
+
+
+def test_read_dataset_unknown_name():
+    from rayuela_tpu.experiments.datasets import read_dataset
+    with pytest.raises(ValueError):
+        read_dataset("not-a-dataset")
+
+
+@pytest.mark.slow
+def test_run_train_query_base_protocol(tmp_path):
+    """Full protocol over every method on a tiny synthetic dataset —
+    the reference validates method correctness exactly this way
+    (`demos/demos_train_query_base.jl`), at SIFT1M scale."""
+    from rayuela_tpu.experiments.datasets import make_synthetic
+    from rayuela_tpu.experiments.drivers import run_train_query_base
+    from rayuela_tpu.experiments.viz import load_recalls, make_plots
+
+    ds = make_synthetic(d=16, ntrain=1200, nbase=4000, nquery=60,
+                        ncenters=16, seed=1, name="tiny")
+    res = run_train_query_base(
+        ds, m=4, h=16, niter=3, ntrials=1, knn=100,
+        results_dir=str(tmp_path), verbose=False,
+        ilsiter=2, icmiter=2, npert=1, chunk=1024)
+    assert set(res) == {"pq", "opq", "rvq", "ervq", "chainq", "lsq",
+                        "sr_c", "sr_d"}
+    for method, outs in res.items():
+        r = outs[0]["recall"]
+        assert r[-1] > 0.5, f"{method} recall too low: {r[-1]}"
+        assert (np.diff(r) >= 0).all()        # curve is monotone
+        # store was written and is loadable
+        got = load_recalls(str(tmp_path), "tiny", method)
+        np.testing.assert_allclose(got[0], r)
+    png = make_plots(str(tmp_path), "tiny", list(res))
+    assert os.path.exists(png)
