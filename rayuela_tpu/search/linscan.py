@@ -102,6 +102,54 @@ def scan_topk(Q: Array, C: Array, B: Array, *, k: int,
     return -neg, jnp.take_along_axis(ids, loc, axis=1).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("k", "tile"))
+def exact_rescan(Q: Array, Xd: Array, x2: Array, k: int,
+                 tile: int = 1 << 15) -> tuple[Array, Array]:
+    """Exact XLA top-k over an already-decoded base — the fallback for
+    queries the Pallas scan's verification flags."""
+    n = Xd.shape[0]
+    k = min(k, n)
+    ntiles = cdiv(n, tile)
+    npad = ntiles * tile
+    Xp = _pad_axis0(Xd, npad).reshape(ntiles, tile, -1)
+    x2p = _pad_axis0(x2, npad, fill=jnp.inf).reshape(ntiles, tile)
+    q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
+    starts = jnp.arange(ntiles, dtype=jnp.int32) * tile
+    kk = min(k, tile)
+
+    def tile_fn(args):
+        Xt, x2t, start = args
+        s = q2 - 2.0 * jnp.matmul(Q, Xt.T,
+                                  preferred_element_type=jnp.float32) \
+            + x2t[None, :]
+        neg, loc = lax.top_k(-s, kk)
+        return -neg, start + loc
+
+    vals, ids = lax.map(tile_fn, (Xp, x2p, starts))
+    nq = Q.shape[0]
+    vals = jnp.transpose(vals, (1, 0, 2)).reshape(nq, ntiles * kk)
+    ids = jnp.transpose(ids, (1, 0, 2)).reshape(nq, ntiles * kk)
+    neg, loc = lax.top_k(-vals, min(k, ntiles * kk))
+    return -neg, jnp.take_along_axis(ids, loc, axis=1).astype(jnp.int32)
+
+
+def _route(Q: Array, C: Array, B: Array, *, k: int, pq: bool,
+           norm_term: Array | None = None, backend: str = "auto",
+           **kw) -> tuple[Array, Array]:
+    """Pick the scan backend: the fused Pallas kernel on TPU (decode
+    once + on-chip top-k + verified-exact fallback), the pure-XLA tiled
+    scan elsewhere."""
+    if backend == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        big = Q.shape[0] >= 32 and B.shape[0] >= 1 << 14
+        backend = "pallas" if (on_tpu and big and k <= 48 * 128) else "xla"
+    if backend == "pallas":
+        from rayuela_tpu.search.scan_pallas import build_index, search
+        idx = build_index(C, B, pq=pq, d=Q.shape[1], norm_term=norm_term)
+        return search(idx, Q, min(k, B.shape[0]))
+    return scan_topk(Q, C, B, k=k, pq=pq, norm_term=norm_term, **kw)
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity front-ends (names mirror src/Linscan.jl)
 # ---------------------------------------------------------------------------
@@ -110,7 +158,7 @@ def linscan_pq(C: Array, Q: Array, B: Array, k: int = 1000,
                **kw) -> tuple[Array, Array]:
     """PQ ADC scan. Reference `src/Linscan.jl:5-26` →
     `deps/src/linscan_aqd.cpp`."""
-    return scan_topk(Q, C, B, k=k, pq=True, **kw)
+    return _route(Q, C, B, k=k, pq=True, **kw)
 
 
 def linscan_opq(C: Array, Q: Array, B: Array, R: Array, k: int = 1000,
@@ -118,7 +166,7 @@ def linscan_opq(C: Array, Q: Array, B: Array, R: Array, k: int = 1000,
     """OPQ scan: rotate queries, then PQ scan. Reference
     `src/Linscan.jl:93-115`."""
     Qr = jnp.matmul(Q, R, preferred_element_type=jnp.float32)
-    return scan_topk(Qr, C, B, k=k, pq=True, **kw)
+    return _route(Qr, C, B, k=k, pq=True, **kw)
 
 
 def linscan_lsq(C: Array, Q: Array, B: Array, norms_cbook: Array,
@@ -133,7 +181,7 @@ def linscan_lsq(C: Array, Q: Array, B: Array, norms_cbook: Array,
     Qr = Q if R is None else jnp.matmul(Q, R,
                                         preferred_element_type=jnp.float32)
     dbnorms = jnp.take(norms_cbook.reshape(-1), norms_codes.reshape(-1))
-    return scan_topk(Qr, C, B, k=k, pq=False, norm_term=dbnorms, **kw)
+    return _route(Qr, C, B, k=k, pq=False, norm_term=dbnorms, **kw)
 
 
 def linscan_cq(C: Array, Q: Array, B: Array, k: int = 1000,
@@ -148,10 +196,10 @@ def linscan_cq(C: Array, Q: Array, B: Array, k: int = 1000,
     c2 = jnp.sum(C * C, axis=-1)                       # (m, h)
     codenorms = jnp.sum(
         jnp.take_along_axis(c2, B.T, axis=1), axis=0)  # (n,)
-    d, i = scan_topk(Q, C, B, k=k, pq=False, norm_term=codenorms,
-                     include_q2=False, **kw)
+    d, i = _route(Q, C, B, k=k, pq=False, norm_term=codenorms, **kw)
+    # _route's scores include one |q|^2; CQ's convention has m of them
     q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
-    return d + m * q2, i
+    return d + (m - 1) * q2, i
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,100 @@
+"""Pallas fused scan+top-k kernel — cross-implementation equivalence
+with brute force / the XLA scan path, in interpret mode on CPU
+(SURVEY.md §4: 'interpret-mode Pallas on CPU')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def brute(Q, Xd, k):
+    D = ((Q[:, None, :].astype(np.float64)
+          - Xd[None].astype(np.float64)) ** 2).sum(-1)
+    return np.sort(D, 1)[:, :k], np.argsort(D, 1)[:, :k]
+
+
+def run(Q, Xd, x2=None, **kw):
+    from rayuela_tpu.search.scan_pallas import pallas_scan_topk
+    if x2 is None:
+        x2 = jnp.sum(jnp.asarray(Xd) ** 2, axis=-1)
+    return pallas_scan_topk(jnp.asarray(Q), jnp.asarray(Xd), x2,
+                            interpret=True, **kw)
+
+
+def test_matches_brute_force(rng):
+    nq, n, d, k = 12, 5000, 96, 50
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    dists, ids, flagged = run(Q, Xd, k=k, r=48, bq=8, tile=2048)
+    ref_d, ref_i = brute(Q, Xd, k)
+    assert not np.asarray(flagged).any()
+    np.testing.assert_array_equal(np.asarray(ids), ref_i)
+    np.testing.assert_allclose(np.asarray(dists), ref_d,
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_ragged_sizes(rng):
+    """n not a multiple of tile, nq not a multiple of bq, d not a
+    multiple of 128."""
+    nq, n, d, k = 11, 3210, 40, 33
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    dists, ids, flagged = run(Q, Xd, k=k, r=24, bq=8, tile=1024)
+    ref_d, ref_i = brute(Q, Xd, k)
+    assert not np.asarray(flagged).any()
+    np.testing.assert_array_equal(np.asarray(ids), ref_i)
+
+
+def test_norm_term_override(rng):
+    """LSQ-style quantized norms replace |x|^2 in the score."""
+    nq, n, d, k = 6, 2000, 32, 20
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    fake_norms = rng.random(n).astype(np.float32) * 10
+    dists, ids, flagged = run(Q, Xd, x2=jnp.asarray(fake_norms),
+                              k=k, r=24, bq=8, tile=1024)
+    D = (-2.0 * Q @ Xd.T + fake_norms[None, :]
+         + (Q ** 2).sum(-1, keepdims=True))
+    np.testing.assert_array_equal(np.asarray(ids),
+                                  np.argsort(D, 1)[:, :k])
+
+
+def test_adversarial_lane_overflow_is_flagged(rng):
+    """Base ordered so the global top-k concentrates in one lane
+    (position mod 128): the kernel must flag affected queries rather
+    than silently return wrong ids."""
+    nq, n, d = 4, 4096, 16
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32) + 100.0
+    # plant 30 near-duplicates of query 0 at positions = 0 mod 128
+    for t in range(30):
+        Xd[t * 128] = Q[0] + 1e-3 * rng.standard_normal(d)
+    r = 8   # shallow buffer so the planted lane overflows (30 > 8)
+    dists, ids, flagged = run(Q, Xd, k=32, r=r, bq=4, tile=1024)
+    flagged = np.asarray(flagged)
+    assert flagged[0], "query 0 overflowed lane 0 and must be flagged"
+    # unaffected queries stay exact
+    ref_d, ref_i = brute(Q, Xd, 32)
+    for q in range(1, nq):
+        if not flagged[q]:
+            np.testing.assert_array_equal(np.asarray(ids)[q], ref_i[q])
+
+
+def test_decode_base_matches_reconstruct(rng):
+    from rayuela_tpu.ops.qerror import reconstruct
+    from rayuela_tpu.search.scan_pallas import decode_base
+    from tests.conftest import random_dataset
+    X, C, B = random_dataset(rng, d=24, n=700, m=3, h=16)
+    Xd, x2 = decode_base(jnp.asarray(C), jnp.asarray(B), chunk=256)
+    ref = np.asarray(reconstruct(C, B))
+    np.testing.assert_allclose(np.asarray(Xd), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x2), (ref ** 2).sum(-1),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_k_validation(rng):
+    Q = rng.standard_normal((4, 32)).astype(np.float32)
+    Xd = rng.standard_normal((1000, 32)).astype(np.float32)
+    with pytest.raises(ValueError):
+        run(Q, Xd, k=24 * 128 + 1, r=24, bq=4, tile=1024)
