@@ -1,0 +1,82 @@
+"""CQ wrapper + CompetitiveQ tests."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_cq_parameters_dump_roundtrip(tmp_path):
+    from rayuela_tpu.models.cq import CQParameters, dump_cq_parameters
+    p = CQParameters(dictionaries_count=4, mu=0.001)
+    cfg = str(tmp_path / "config.txt")
+    dump_cq_parameters(p, cfg)
+    lines = dict(line.strip().split("=", 1)
+                 for line in open(cfg) if "=" in line)
+    assert lines["CQ"] == "1" and lines["PQ"] == "0"      # bools as ints
+    assert lines["dictionaries_count"] == "4"
+    assert lines["mu"] == "0.001"
+    assert "points_file" in lines
+
+
+def test_cq_file_roundtrip(tmp_path, rng):
+    from rayuela_tpu.models.cq import (read_cq_bvecs, read_cq_fvecs,
+                                       write_cq_bvecs, write_cq_fvecs)
+    D = rng.standard_normal((12, 8)).astype(np.float32)
+    B = rng.integers(0, 256, (30, 4)).astype(np.int32)
+    write_cq_fvecs(str(tmp_path / "D"), D)
+    write_cq_bvecs(str(tmp_path / "B"), B)
+    np.testing.assert_allclose(read_cq_fvecs(str(tmp_path / "D")), D)
+    np.testing.assert_array_equal(read_cq_bvecs(str(tmp_path / "B")), B)
+
+
+def test_run_cq_requires_binary(tmp_path):
+    from rayuela_tpu.models.cq import CQParameters, run_cq
+    os.environ.pop("CQ_BINARY", None)
+    with pytest.raises(FileNotFoundError):
+        run_cq(CQParameters(), workdir=str(tmp_path))
+
+
+def test_compq_beam_wider_is_no_worse(rng):
+    """Beam H=8 must reach codes at least as good as greedy (H=1)."""
+    from rayuela_tpu.models.compq import quantize_compq
+    from rayuela_tpu.ops.qerror import qerror
+    m, h, d, n = 4, 16, 12, 300
+    X = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    C = jnp.asarray((rng.standard_normal((m, h, d)) * 0.4
+                     ).astype(np.float32))
+    B1, _ = quantize_compq(C, X, H=1, chunk=128)
+    B8, R8 = quantize_compq(C, X, H=8, chunk=128)
+    e1, e8 = float(qerror(X, C, B1)), float(qerror(X, C, B8))
+    assert e8 <= e1 + 1e-4
+    # returned residual is consistent with the codes
+    from rayuela_tpu.ops.qerror import reconstruct
+    np.testing.assert_allclose(np.asarray(R8),
+                               np.asarray(X - reconstruct(C, B8)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_compq_greedy_matches_rvq_encoding(rng):
+    """H=1 beam == greedy sequential RVQ encoding, exactly."""
+    from rayuela_tpu.models.compq import quantize_compq
+    from rayuela_tpu.models.rvq import quantize_rvq
+    m, h, d, n = 3, 8, 10, 200
+    X = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    C = jnp.asarray(rng.standard_normal((m, h, d)).astype(np.float32))
+    B1, _ = quantize_compq(C, X, H=1, chunk=64)
+    Bg, _ = quantize_rvq(C, X)
+    np.testing.assert_array_equal(np.asarray(B1), np.asarray(Bg))
+
+
+def test_train_compq_improves(rng):
+    from rayuela_tpu.models.compq import train_compq, quantize_compq
+    from rayuela_tpu.models.rvq import train_rvq
+    m, h, d, n = 3, 8, 10, 400
+    X = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    rvq, B0, _ = train_rvq(jax.random.PRNGKey(0), X, m, h, niter=5)
+    model, B, obj = train_compq(X, rvq.codebooks, B0, niter=8, H=4,
+                                lr_total=0.005, chunk=128)
+    obj = np.asarray(obj)
+    assert obj[-1] < obj[0]
