@@ -21,7 +21,18 @@ import numpy as np
 
 
 def _xvecs_read(path: str, value_dtype, value_size: int,
-                start: int = 0, count: int | None = None) -> np.ndarray:
+                start: int = 0, count: int | None = None,
+                native: str = "auto") -> np.ndarray:
+    """``native``: "auto" uses the C++ mmap+OpenMP reader
+    (`rayuela_tpu.io.native`) for files over ~16 MB when the library is
+    available; "never" forces the numpy path; "always" requires it."""
+    if native != "never":
+        from rayuela_tpu.io import native as nat
+        big = os.path.exists(path) and os.path.getsize(path) > 16 << 20
+        if nat.available() and (native == "always" or big):
+            return nat.read(path, value_dtype, value_size, start, count)
+        if native == "always":
+            raise RuntimeError("native xvecs library unavailable")
     with open(path, "rb") as f:
         d = int(np.fromfile(f, dtype="<i4", count=1)[0])
         row_bytes = 4 + d * value_size
@@ -45,21 +56,24 @@ def _xvecs_read(path: str, value_dtype, value_size: int,
 
 
 def fvecs_read(path: str, start: int = 0,
-               count: int | None = None) -> np.ndarray:
+               count: int | None = None,
+               native: str = "auto") -> np.ndarray:
     """Read float32 vectors → (n, d) f32. Reference `src/xvecs_read.jl:63-106`."""
-    return _xvecs_read(path, "<f4", 4, start, count)
+    return _xvecs_read(path, "<f4", 4, start, count, native)
 
 
 def ivecs_read(path: str, start: int = 0,
-               count: int | None = None) -> np.ndarray:
+               count: int | None = None,
+               native: str = "auto") -> np.ndarray:
     """Read int32 vectors → (n, d) i32. Reference `src/xvecs_read.jl:109-152`."""
-    return _xvecs_read(path, "<i4", 4, start, count)
+    return _xvecs_read(path, "<i4", 4, start, count, native)
 
 
 def bvecs_read(path: str, start: int = 0,
-               count: int | None = None) -> np.ndarray:
+               count: int | None = None,
+               native: str = "auto") -> np.ndarray:
     """Read uint8 vectors → (n, d) u8. Reference `src/xvecs_read.jl:14-60`."""
-    return _xvecs_read(path, np.uint8, 1, start, count)
+    return _xvecs_read(path, np.uint8, 1, start, count, native)
 
 
 def _xvecs_write(path: str, X: np.ndarray, value_dtype) -> None:
