@@ -209,6 +209,58 @@ ALL_METHODS = ("pq", "opq", "rvq", "ervq", "chainq", "lsq", "sr_c",
                "sr_d")
 
 
+def run_query_base(dataset: str | Dataset, m: int = 8, h: int = 256,
+                   niter: int = 25, ntrials: int = 10, knn: int = 1000,
+                   methods=ALL_METHODS, results_dir: str = "results",
+                   verbose: bool = True, seed: int = 0, **exp_kw):
+    """The query==base protocol of `demos/demos_query_base.jl`
+    (LabelMe22K / MNIST): the training set IS the base set — queries
+    are searched against the training codes directly, over ``ntrials``
+    repetitions (the reference uses 10, `:15`)."""
+    ds = read_dataset(dataset) if isinstance(dataset, str) else dataset
+    ds = Dataset(ds.name, ds.Xt, ds.Xt, ds.Xq, ds.gt)
+    return run_train_query_base(ds, m=m, h=h, niter=niter,
+                                ntrials=ntrials, knn=knn,
+                                methods=methods, results_dir=results_dir,
+                                verbose=verbose, seed=seed, **exp_kw)
+
+
+def high_recall_experiment(key, ds: Dataset, m: int = 7, h: int = 256,
+                           niter: int = 25,
+                           ilsiters=(1, 2, 4, 8, 16, 32, 64),
+                           knn: int = 1000, verbose: bool = True,
+                           method: str = "SR_D", **sr_kw):
+    """Recall as a function of the base-encoding ILS budget — the
+    reference's ``high_recall_experiments``
+    (`demos/demos_train_query_base.jl:98-158`). Returns
+    ``{ilsiter: recall_curve}``."""
+    from rayuela_tpu.ops.icm import encoding_icm_checkpoints
+
+    opq_model, B_opq, _ = train_opq(key, jnp.asarray(ds.Xt), m, h,
+                                    niter=niter)
+    cq_model, B_cq, _ = train_chainq(jnp.asarray(ds.Xt), B_opq,
+                                     opq_model.R, h=h, niter=niter)
+    model, B, _ = train_sr(key, jnp.asarray(ds.Xt), B_cq, cq_model.R,
+                           h=h, niter=niter, method=method, **sr_kw)
+    kb, ke = jax.random.split(jax.random.fold_in(key, 11))
+    nb = ds.Xb.shape[0]
+    Bb0 = jax.random.randint(kb, (nb, B.shape[1]), 0, h, jnp.int32)
+    snaps = encoding_icm_checkpoints(ke, jnp.asarray(ds.Xb),
+                                     model.codebooks, Bb0,
+                                     ilsiters=ilsiters)
+    out = {}
+    for ils, Bb in zip(sorted(ilsiters), snaps):
+        norms_codes_t, norms_cbook = get_norms_codebook(
+            key, model.codebooks, B)
+        bnorm, _ = quantize_norms(model.codebooks, Bb, norms_cbook)
+        _, ids = linscan_lsq(model.codebooks, jnp.asarray(ds.Xq), Bb,
+                             norms_cbook, bnorm, k=knn)
+        out[ils] = eval_recall(ids, ds.gt, verbose=False)
+        if verbose:
+            print(f"ilsiter={ils}: r@1={out[ils][0]:.4f}")
+    return out
+
+
 def run_train_query_base(dataset: str | Dataset = "sift1m", m: int = 8,
                          h: int = 256, niter: int = 25,
                          ntrials: int = 1, knn: int = 1000,

@@ -152,3 +152,26 @@ def encoding_icm(key: Array, X: Array, C: Array, B0: Array, *,
     out = lax.map(encode_chunk,
                   (Xcs, Bcs, jnp.arange(nchunks, dtype=jnp.int32)))
     return out.reshape(-1, m)[:n]
+
+
+def encoding_icm_checkpoints(key: Array, X: Array, C: Array, B0: Array,
+                             ilsiters=(16, 32, 64), **kw
+                             ) -> list[Array]:
+    """Snapshot the codes after several cumulative ILS budgets.
+
+    Equivalent of the reference CUDA encoder's multi-checkpoint mode
+    (`src/LSQ_GPU.jl:193-204`), used by the high-recall sweeps
+    (`demos/demos_train_query_base.jl:98-158`, ilsiters in {1..256}).
+    ILS is sequential, so each snapshot continues from the previous one;
+    PRNG streams differ from a single long run (statistical parity).
+    """
+    ilsiters = sorted(ilsiters)
+    outs, B, done = [], B0, 0
+    for i, target in enumerate(ilsiters):
+        gap = target - done
+        if gap > 0:
+            B = encoding_icm(jax.random.fold_in(key, i), X, C, B,
+                             ilsiter=gap, **kw)
+            done = target
+        outs.append(B)
+    return outs

@@ -60,6 +60,24 @@ def one_hot(idx: Array, num: int, dtype=jnp.float32) -> Array:
     return jax.nn.one_hot(idx, num, dtype=dtype)
 
 
+def sparsify_codes(B: Array, h: int, dtype=jnp.float32) -> Array:
+    """Codes → (n, m*h) binary indicator matrix ("B_tilde").
+
+    Reference ``sparsify_codes`` (`src/utils.jl:76-96`) builds a
+    SparseMatrixCSC; on TPU the dense one-hot feeds the MXU directly
+    (chunk the n axis for large n — see
+    `rayuela_tpu.ops.codebook_update.codebook_stats`)."""
+    n, m = B.shape
+    return jax.nn.one_hot(B, h, dtype=dtype).reshape(n, m * h)
+
+
+def K2vec(K: Array, m: int, h: int) -> Array:
+    """Stacked least-squares solution (m*h, d) → codebooks (m, h, d).
+
+    Reference ``K2vec`` (`src/utils.jl:99-114`)."""
+    return K.reshape(m, h, -1)
+
+
 def gather_rows(table: Array, idx: Array, *, precision=None) -> Array:
     """Row gather ``table[idx]`` expressed as a one-hot matmul (MXU path).
 
