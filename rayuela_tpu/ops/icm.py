@@ -113,16 +113,79 @@ def _perturb(key: Array, B: Array, npert: int, h: int) -> Array:
     return out
 
 
-@partial(jax.jit, static_argnames=("ilsiter", "icmiter", "npert",
-                                   "randord", "chunk"))
 def encoding_icm(key: Array, X: Array, C: Array, B0: Array, *,
                  ilsiter: int = 8, icmiter: int = 4, npert: int = 4,
-                 randord: bool = True, chunk: int = 8192) -> Array:
+                 randord: bool = True, chunk: int = 8192,
+                 impl: str = "auto") -> Array:
     """ILS-over-ICM encoding. Returns improved codes ``(n, m) int32``.
 
     Reference ``encoding_icm`` / ``encode_icm_fully!``
     (`src/LSQ.jl:152-294`); defaults are the reference experiment
-    settings (`demos/demos_train_query_base.jl:64-67`)."""
+    settings (`demos/demos_train_query_base.jl:64-67`).
+
+    ``impl``: "auto" uses the Pallas sweep kernel
+    (`rayuela_tpu.ops.icm_pallas`) on TPU when the conditioning tables
+    fit VMEM, the XLA formulation otherwise; "xla" / "pallas" force."""
+    if impl == "auto":
+        from rayuela_tpu.ops.icm_pallas import pallas_icm_available
+        on_tpu = jax.default_backend() != "cpu"
+        impl = "pallas" if (on_tpu and
+                            pallas_icm_available(C.shape[0], C.shape[1],
+                                                 C.shape[2])) else "xla"
+    if impl in ("pallas", "pallas-interpret"):
+        return _encoding_icm_pallas(key, X, C, B0, ilsiter=ilsiter,
+                                    icmiter=icmiter, npert=npert,
+                                    randord=randord,
+                                    interpret=impl == "pallas-interpret")
+    return _encoding_icm_xla(key, X, C, B0, ilsiter=ilsiter,
+                             icmiter=icmiter, npert=npert,
+                             randord=randord, chunk=chunk)
+
+
+def _ils_schedule(key: Array, m: int, ilsiter: int, randord: bool):
+    """Per-round perturbation keys + node orders, shared by backends."""
+    keys = jax.random.split(key, ilsiter + 1)
+    if randord:
+        orders = jnp.stack([jax.random.permutation(keys[t + 1], m)
+                            for t in range(ilsiter)]).astype(jnp.int32)
+    else:
+        orders = jnp.tile(jnp.arange(m, dtype=jnp.int32), (ilsiter, 1))
+    pkeys = jnp.stack([jax.random.fold_in(keys[0], t)
+                       for t in range(ilsiter)])
+    return pkeys, orders
+
+
+@partial(jax.jit, static_argnames=("ilsiter", "icmiter", "npert",
+                                   "randord", "interpret"))
+def _encoding_icm_pallas(key: Array, X: Array, C: Array, B0: Array, *,
+                         ilsiter: int, icmiter: int, npert: int,
+                         randord: bool, interpret: bool = False) -> Array:
+    """ILS wrapper (perturb / accept in XLA) around the VMEM-resident
+    Pallas sweep kernel; the ICM inner loop never touches HBM."""
+    from rayuela_tpu.ops.icm_pallas import icm_sweeps_pallas
+    from rayuela_tpu.ops.qerror import veccost_chunked
+
+    n, d = X.shape
+    m, h, _ = C.shape
+    pkeys, orders = _ils_schedule(key, m, ilsiter, randord)
+    B0 = B0.astype(jnp.int32)
+
+    def ils_round(t, B):
+        prev = veccost_chunked(X, C, B)
+        Bt = _perturb(pkeys[t], B, npert, h)
+        Bt = icm_sweeps_pallas(X, C, Bt, orders[t], icmiter,
+                               interpret=interpret)
+        new = veccost_chunked(X, C, Bt)
+        return jnp.where((new < prev)[:, None], Bt, B)
+
+    return lax.fori_loop(0, ilsiter, ils_round, B0)
+
+
+@partial(jax.jit, static_argnames=("ilsiter", "icmiter", "npert",
+                                   "randord", "chunk"))
+def _encoding_icm_xla(key: Array, X: Array, C: Array, B0: Array, *,
+                      ilsiter: int = 8, icmiter: int = 4, npert: int = 4,
+                      randord: bool = True, chunk: int = 8192) -> Array:
     n, d = X.shape
     m, h, _ = C.shape
     nchunks = cdiv(n, chunk)

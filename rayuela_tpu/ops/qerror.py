@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from rayuela_tpu.utils import gather_rows
+from rayuela_tpu.utils import cdiv, gather_rows
 
 Array = jax.Array
 
@@ -66,6 +66,23 @@ def veccost(X: Array, C: Array, B: Array, *, pq: bool = False) -> Array:
     Xr = reconstruct_pq(C, B, X.shape[1]) if pq else reconstruct(C, B)
     e = X - Xr
     return jnp.sum(e * e, axis=-1)
+
+
+def veccost_chunked(X: Array, C: Array, B: Array,
+                    chunk: int = 16384) -> Array:
+    """`veccost` with the n axis streamed in fixed chunks, so the
+    decode transient stays bounded for base-set-sized n (the role of
+    the reference GPU's ``nsplits``, `src/LSQ_GPU.jl:218-264`)."""
+    n, d = X.shape
+    m = B.shape[1]
+    nchunks = cdiv(n, chunk)
+    pad = nchunks * chunk - n
+    Xp = jnp.pad(X, ((0, pad), (0, 0)))
+    Bp = jnp.pad(B, ((0, pad), (0, 0)))
+    out = lax.map(lambda ab: veccost(ab[0], C, ab[1]),
+                  (Xp.reshape(nchunks, chunk, d),
+                   Bp.reshape(nchunks, chunk, m)))
+    return out.reshape(-1)[:n]
 
 
 def qerror(X: Array, C: Array, B: Array, *, pq: bool = False) -> Array:

@@ -1,0 +1,91 @@
+"""Pallas ICM sweep kernel vs XLA formulation (interpret mode on CPU).
+
+The kernel computes with bf16 tables; on integer-valued data every
+intermediate is exactly representable in bf16, so the two paths must
+agree bitwise. On Gaussian data bf16 rounding may flip rare near-ties,
+so agreement is statistical."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def xla_sweeps(X, C, B, order, icmiter):
+    from rayuela_tpu.ops.icm import _icm_sweeps
+    from rayuela_tpu.ops.qerror import get_binaries, get_unaries
+    m = C.shape[0]
+    u = jnp.transpose(get_unaries(X, C), (1, 0, 2))
+    Bin = get_binaries(C)
+    Bin = Bin * (1.0 - jnp.eye(m))[:, :, None, None]
+    T = jnp.transpose(Bin, (1, 0, 2, 3)).reshape(m, m * C.shape[1],
+                                                 C.shape[1])
+    return _icm_sweeps(u, T.astype(jnp.float32), B, order, icmiter)
+
+
+def run_pallas(X, C, B, order, icmiter, chunk=64):
+    from rayuela_tpu.ops.icm_pallas import icm_sweeps_pallas
+    return icm_sweeps_pallas(X, C, B, order, icmiter, chunk=chunk,
+                             interpret=True)
+
+
+def test_exact_on_integer_data(rng):
+    n, d, m, h = 300, 8, 4, 8
+    X = jnp.asarray(rng.integers(-1, 2, (n, d)), jnp.float32)
+    C = jnp.asarray(rng.integers(-1, 2, (m, h, d)), jnp.float32)
+    B = jnp.asarray(rng.integers(0, h, (n, m)), jnp.int32)
+    order = jnp.asarray([2, 0, 3, 1], jnp.int32)
+    out_p = np.asarray(run_pallas(X, C, B, order, icmiter=2))
+    out_x = np.asarray(xla_sweeps(X, C, B, order, 2))
+    np.testing.assert_array_equal(out_p, out_x)
+
+
+def test_statistical_on_gaussian(rng):
+    n, d, m, h = 520, 16, 4, 8   # ragged vs chunk=64 too
+    X = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((m, h, d)) * 0.4, jnp.float32)
+    B = jnp.asarray(rng.integers(0, h, (n, m)), jnp.int32)
+    order = jnp.arange(m, dtype=jnp.int32)
+    out_p = np.asarray(run_pallas(X, C, B, order, icmiter=2))
+    out_x = np.asarray(xla_sweeps(X, C, B, order, 2))
+    agree = (out_p == out_x).mean()
+    assert agree > 0.98, f"agreement {agree}"
+    assert out_p.shape == (n, m)
+
+
+def test_improves_energy(rng):
+    from rayuela_tpu.ops.qerror import veccost
+    n, d, m, h = 200, 16, 4, 8
+    X = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((m, h, d)) * 0.4, jnp.float32)
+    B = jnp.asarray(rng.integers(0, h, (n, m)), jnp.int32)
+    order = jnp.arange(m, dtype=jnp.int32)
+    out = run_pallas(X, C, B, order, icmiter=3)
+    # ICM sweeps from a random start essentially always improve the
+    # mean cost (per-vector monotone up to bf16 rounding)
+    assert float(veccost(X, C, np.asarray(out)).mean()) < \
+        float(veccost(X, C, np.asarray(B)).mean())
+
+
+def test_availability_gate():
+    from rayuela_tpu.ops.icm_pallas import pallas_icm_available
+    assert pallas_icm_available(8, 256, 128)
+    assert not pallas_icm_available(16, 256, 128)
+
+
+def test_full_ils_pallas_path(rng):
+    """The Pallas-backed ILS encoder (interpret mode) honors the
+    accept-if-better invariant and substantially improves codes."""
+    import jax
+    from rayuela_tpu.ops.icm import encoding_icm
+    from rayuela_tpu.ops.qerror import veccost
+    n, d, m, h = 300, 16, 4, 8
+    X = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((m, h, d)) * 0.4, jnp.float32)
+    B0 = jnp.asarray(rng.integers(0, h, (n, m)), jnp.int32)
+    B = encoding_icm(jax.random.PRNGKey(0), X, C, B0, ilsiter=3,
+                     icmiter=2, npert=1, impl="pallas-interpret")
+    c0 = np.asarray(veccost(X, C, B0))
+    c1 = np.asarray(veccost(X, C, np.asarray(B)))
+    assert (c1 <= c0 + 1e-3).all()
+    assert c1.mean() < 0.7 * c0.mean()
