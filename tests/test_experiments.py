@@ -81,3 +81,27 @@ def test_run_train_query_base_protocol(tmp_path):
         np.testing.assert_allclose(got[0], r)
     png = make_plots(str(tmp_path), "tiny", list(res))
     assert os.path.exists(png)
+
+
+@pytest.mark.slow
+def test_query_base_protocol_and_high_recall(tmp_path):
+    from rayuela_tpu.experiments.datasets import make_synthetic
+    from rayuela_tpu.experiments.drivers import (high_recall_experiment,
+                                                 run_query_base)
+    ds = make_synthetic(d=16, ntrain=1500, nbase=1500, nquery=50,
+                        ncenters=12, seed=2, name="qb")
+    res = run_query_base(ds, m=4, h=16, niter=2, ntrials=1, knn=50,
+                         methods=("pq", "rvq"),
+                         results_dir=str(tmp_path), verbose=False,
+                         ilsiter=2, icmiter=1, npert=1, chunk=512)
+    # query==base: the base searched is the training set itself
+    for outs in res.values():
+        assert outs[0]["B_base"].shape[0] == ds.Xt.shape[0]
+
+    out = high_recall_experiment(jax.random.PRNGKey(0), ds, m=3, h=16,
+                                 niter=2, ilsiters=(1, 4), knn=50,
+                                 verbose=False, ilsiter=2, icmiter=1,
+                                 npert=1, chunk=512)
+    assert set(out) == {1, 4}
+    # more ILS budget can only help (within noise)
+    assert out[4][49] >= out[1][49] - 0.05
