@@ -35,18 +35,6 @@ class ChainQModel(NamedTuple):
     R: Array          # (d, d) float32 rotation
 
 
-def _expand_opq_codebooks(C_opq: Array, d: int, m: int) -> Array:
-    """Embed OPQ's (m, h, d/m) subspace codebooks into full-dim (m, h, d)
-    zeros — the init handoff of reference
-    `demos/demos_train_query_base.jl:56-58` (OPQ → ChainQ)."""
-    mm, h, ds = C_opq.shape
-    assert mm == m
-    C = jnp.zeros((m, h, d), C_opq.dtype)
-    for i in range(m):
-        C = lax.dynamic_update_slice(C, C_opq[None, i], (i, 0, i * ds))
-    return C
-
-
 @partial(jax.jit, static_argnames=("h", "niter", "chunk"))
 def train_chainq(X: Array, B0: Array, R0: Array, h: int = 256,
                  niter: int = 25, chunk: int = 2048

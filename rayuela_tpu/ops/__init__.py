@@ -1,0 +1,21 @@
+"""Core math ops (reference layer L2 + native-kernel equivalents)."""
+
+from rayuela_tpu.ops.codebook_update import (chain_dims, codebook_stats,
+                                             update_codebooks,
+                                             update_codebooks_chain)
+from rayuela_tpu.ops.icm import encoding_icm, encoding_icm_checkpoints
+from rayuela_tpu.ops.kmeans import KMeansResult, assign, kmeans
+from rayuela_tpu.ops.qerror import (get_binaries, get_unaries, qerror,
+                                    qerror_opq, qerror_pq, reconstruct,
+                                    reconstruct_pq, veccost,
+                                    veccost_chunked)
+from rayuela_tpu.ops.viterbi import chain_binaries, viterbi_encode
+
+__all__ = [
+    "KMeansResult", "assign", "chain_binaries", "chain_dims",
+    "codebook_stats", "encoding_icm", "encoding_icm_checkpoints",
+    "get_binaries", "get_unaries", "kmeans", "qerror", "qerror_opq",
+    "qerror_pq", "reconstruct", "reconstruct_pq", "update_codebooks",
+    "update_codebooks_chain", "veccost", "veccost_chunked",
+    "viterbi_encode",
+]

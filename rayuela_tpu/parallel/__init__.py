@@ -1,0 +1,9 @@
+"""Device-mesh parallelism (SURVEY.md §2.5 TPU mapping)."""
+
+from rayuela_tpu.parallel.mesh import (make_mesh, pq_lloyd_step_sharded,
+                                       replicate, shard_data,
+                                       sharded_scan_topk)
+from rayuela_tpu.parallel.lsq_sharded import make_sr_train_step
+
+__all__ = ["make_mesh", "make_sr_train_step", "pq_lloyd_step_sharded",
+           "replicate", "shard_data", "sharded_scan_topk"]
