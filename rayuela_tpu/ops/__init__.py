@@ -4,8 +4,11 @@ from rayuela_tpu.ops.codebook_update import (chain_dims, codebook_stats,
                                              update_codebooks,
                                              update_codebooks_chain)
 from rayuela_tpu.ops.icm import encoding_icm, encoding_icm_checkpoints
-from rayuela_tpu.ops.kmeans import KMeansResult, assign, kmeans
-from rayuela_tpu.ops.qerror import (get_binaries, get_unaries, qerror,
+from rayuela_tpu.ops.kmeans import KMeansResult, assign
+# NOTE: the `kmeans` and `qerror` FUNCTIONS are not re-exported here —
+# they would shadow their submodules on the package namespace; use
+# rayuela_tpu.ops.kmeans.kmeans / rayuela_tpu.ops.qerror.qerror.
+from rayuela_tpu.ops.qerror import (get_binaries, get_unaries,
                                     qerror_opq, qerror_pq, reconstruct,
                                     reconstruct_pq, veccost,
                                     veccost_chunked)
@@ -14,7 +17,7 @@ from rayuela_tpu.ops.viterbi import chain_binaries, viterbi_encode
 __all__ = [
     "KMeansResult", "assign", "chain_binaries", "chain_dims",
     "codebook_stats", "encoding_icm", "encoding_icm_checkpoints",
-    "get_binaries", "get_unaries", "kmeans", "qerror", "qerror_opq",
+    "get_binaries", "get_unaries", "qerror_opq",
     "qerror_pq", "reconstruct", "reconstruct_pq", "update_codebooks",
     "update_codebooks_chain", "veccost", "veccost_chunked",
     "viterbi_encode",

@@ -4,7 +4,7 @@ the reference's cross-implementation equivalence style (`test/chainq.jl`)."""
 import jax.numpy as jnp
 import numpy as np
 
-import rayuela_tpu.ops.qerror as Q
+from rayuela_tpu.ops import qerror as Q
 from tests.conftest import random_dataset
 
 
