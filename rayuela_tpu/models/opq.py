@@ -107,11 +107,11 @@ def train_opq(key: Array, X: Array, m: int, h: int = 256,
             jnp.transpose(B, (1, 0)).astype(jnp.int32), obj)
 
 
-def quantize_opq(model: OPQModel, X: Array) -> Array:
-    """Encode: rotate, then PQ-assign per subspace. Reference
-    `src/OPQ.jl:19-27`."""
+def quantize_opq(model: OPQModel, X: Array, chunk: int = 65536) -> Array:
+    """Encode: rotate, then PQ-assign per subspace (chunked over n).
+    Reference `src/OPQ.jl:19-27`."""
+    from rayuela_tpu.models.pq import PQModel, quantize_pq
+
     Xr = jnp.matmul(X, model.R, preferred_element_type=jnp.float32)
-    m = model.codebooks.shape[0]
-    Xs = _split_subspaces(Xr, m)
-    a, _ = jax.vmap(assign)(Xs, model.codebooks)
-    return jnp.transpose(a, (1, 0)).astype(jnp.int32)
+    return quantize_pq(PQModel(codebooks=model.codebooks), Xr,
+                       chunk=chunk)

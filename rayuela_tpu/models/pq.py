@@ -61,11 +61,25 @@ def train_pq(key: Array, X: Array, m: int, h: int = 256,
     return model, B, qerror_pq(X, model.codebooks, B)
 
 
-def quantize_pq(model: PQModel, X: Array) -> Array:
+def quantize_pq(model: PQModel, X: Array, chunk: int = 65536) -> Array:
     """Encode: per-subspace nearest-center assignment → (n, m) int32.
 
-    Reference `src/PQ.jl:18-48`."""
+    Reference `src/PQ.jl:18-48`. The n axis streams in chunks so the
+    (m, chunk, h) distance transient stays bounded at base-set scale
+    (1M x m=8 x h=256 would otherwise be ~8 GB)."""
+    from jax import lax
+
+    from rayuela_tpu.utils import cdiv
+
     m = model.codebooks.shape[0]
-    Xs = _split_subspaces(X, m)
-    a, _ = jax.vmap(assign)(Xs, model.codebooks)
-    return jnp.transpose(a, (1, 0)).astype(jnp.int32)
+    n = X.shape[0]
+    nchunks = cdiv(n, chunk)
+    Xp = jnp.pad(X, ((0, nchunks * chunk - n), (0, 0)))
+
+    def enc(Xc):
+        Xs = _split_subspaces(Xc, m)
+        a, _ = jax.vmap(assign)(Xs, model.codebooks)
+        return jnp.transpose(a, (1, 0)).astype(jnp.int32)
+
+    B = lax.map(enc, Xp.reshape(nchunks, chunk, -1))
+    return B.reshape(-1, m)[:n]
