@@ -1,0 +1,172 @@
+"""High-level facade: train / encode / search in three calls.
+
+The reference exposes per-method functions and demo scripts; this
+module adds the one-call surface a production user expects, on top of
+the same primitives:
+
+    import rayuela_tpu.api as rq
+    model = rq.train(Xt, method="sr_d", m=7, h=256)     # any method
+    index = rq.index_base(model, Xb)                    # encode + decode-index
+    dists, ids = rq.search(index, Q, k=100)             # fused Pallas scan
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+METHODS = ("pq", "opq", "rvq", "ervq", "chainq", "lsq", "sr_c", "sr_d",
+           "compq")
+_ORTHOGONAL = ("pq", "opq")
+
+
+@dataclass
+class MCQModel:
+    """A trained quantizer: codebooks + method metadata."""
+    method: str
+    codebooks: Array               # (m, h, d*) f32
+    R: Array | None = None         # rotation (OPQ / ChainQ)
+    h: int = 256
+    train_codes: Array | None = None
+    extras: dict = field(default_factory=dict)
+
+    @property
+    def pq_layout(self) -> bool:
+        return self.method in _ORTHOGONAL
+
+
+@dataclass
+class MCQIndex:
+    """A searchable base set: codes + decoded scan index + norms."""
+    model: MCQModel
+    codes: Array                   # (n, m) int32
+    scan_index: Any                # search.scan_pallas.LinscanIndex
+    norms_codebook: Array | None = None
+    norm_codes: Array | None = None
+
+
+def train(Xt, method: str = "sr_d", m: int = 8, h: int = 256,
+          niter: int = 25, key=None, **kw) -> MCQModel:
+    """Train any MCQ method with the reference pipeline semantics
+    (staged OPQ → ChainQ init for the LSQ family)."""
+    from rayuela_tpu import models as M
+
+    method = method.lower()
+    if method not in METHODS:
+        raise ValueError(f"unknown method {method!r}; one of {METHODS}")
+    key = jax.random.PRNGKey(0) if key is None else key
+    Xt = jnp.asarray(Xt)
+
+    if method == "pq":
+        model, B, _ = M.train_pq(key, Xt, m, h, iters=niter, **kw)
+        return MCQModel("pq", model.codebooks, h=h, train_codes=B)
+    if method == "opq":
+        model, B, _ = M.train_opq(key, Xt, m, h, niter=niter, **kw)
+        return MCQModel("opq", model.codebooks, R=model.R, h=h,
+                        train_codes=B)
+    if method == "rvq":
+        model, B, _ = M.train_rvq(key, Xt, m, h, niter=niter, **kw)
+        return MCQModel("rvq", model.codebooks, h=h, train_codes=B)
+    if method == "ervq":
+        model, B, _ = M.train_ervq_from_scratch(key, Xt, m, h,
+                                                niter=niter, **kw)
+        return MCQModel("ervq", model.codebooks, h=h, train_codes=B)
+    if method == "compq":
+        rvq, B0, _ = M.train_rvq(key, Xt, m, h, niter=niter)
+        model, B, _ = M.train_compq(Xt, rvq.codebooks, B0, niter=niter,
+                                    **kw)
+        return MCQModel("compq", model.codebooks, h=h, train_codes=B)
+
+    # LSQ family: OPQ → ChainQ → {chainq | lsq | sr}
+    opq, B0, _ = M.train_opq(key, Xt, m, h, niter=niter)
+    if method == "chainq":
+        model, B, _ = M.train_chainq(Xt, B0, opq.R, h=h, niter=niter,
+                                     **kw)
+        return MCQModel("chainq", model.codebooks, R=model.R, h=h,
+                        train_codes=B)
+    cq, B1, _ = M.train_chainq(Xt, B0, opq.R, h=h, niter=niter)
+    if method == "lsq":
+        model, B, _ = M.train_lsq(key, Xt, B1, cq.R, h=h, niter=niter,
+                                  **kw)
+    else:
+        model, B, _ = M.train_sr(key, Xt, B1, cq.R, h=h, niter=niter,
+                                 method=method.upper(), **kw)
+    return MCQModel(method, model.codebooks, h=h, train_codes=B)
+
+
+def encode(model: MCQModel, X, key=None, **kw) -> Array:
+    """Encode vectors with a trained model (method-appropriate path)."""
+    from rayuela_tpu import models as M
+    from rayuela_tpu.ops.icm import encoding_icm
+
+    X = jnp.asarray(X)
+    key = jax.random.PRNGKey(1) if key is None else key
+    method = model.method
+    if method == "pq":
+        from rayuela_tpu.models.pq import PQModel
+        return M.quantize_pq(PQModel(model.codebooks), X, **kw)
+    if method == "opq":
+        from rayuela_tpu.models.opq import OPQModel
+        return M.quantize_opq(OPQModel(model.codebooks, model.R), X, **kw)
+    if method in ("rvq", "ervq"):
+        B, _ = M.quantize_rvq(model.codebooks, X)
+        return B
+    if method == "chainq":
+        from rayuela_tpu.models.chainq import ChainQModel
+        return M.quantize_chainq(ChainQModel(model.codebooks, model.R),
+                                 X, **kw)
+    if method == "compq":
+        B, _ = M.quantize_compq(model.codebooks, X, **kw)
+        return B
+    # LSQ family: greedy init + ILS/ICM with the 4x base budget
+    B0, _ = M.quantize_rvq(model.codebooks, X)
+    kw.setdefault("ilsiter", 32)
+    return encoding_icm(key, X, model.codebooks, B0, **kw)
+
+
+def index_base(model: MCQModel, Xb, key=None, **kw) -> MCQIndex:
+    """Encode the base set and build the decoded scan index (+ norms
+    byte for non-orthogonal methods)."""
+    from rayuela_tpu.search.norms import get_norms_codebook, quantize_norms
+    from rayuela_tpu.search.scan_pallas import build_index
+
+    Xb = jnp.asarray(Xb)
+    key = jax.random.PRNGKey(2) if key is None else key
+    B = encode(model, Xb, key=key, **kw)
+    norms_cb = norm_codes = None
+    if not model.pq_layout and model.train_codes is not None:
+        _, norms_cb = get_norms_codebook(key, model.codebooks,
+                                         model.train_codes)
+        norm_codes, _ = quantize_norms(model.codebooks, B, norms_cb)
+        nt = jnp.take(norms_cb, norm_codes)
+    else:
+        nt = None
+    idx = build_index(model.codebooks, B, pq=model.pq_layout,
+                      d=Xb.shape[1], norm_term=nt)
+    return MCQIndex(model, B, idx, norms_cb, norm_codes)
+
+
+def search(index: MCQIndex, Q, k: int = 100) -> tuple[Array, Array]:
+    """Top-k ADC search (rotates queries when the model has R)."""
+    from rayuela_tpu.search import linscan
+    from rayuela_tpu.search import scan_pallas
+
+    Q = jnp.asarray(Q)
+    if index.model.R is not None and index.model.method == "chainq":
+        Q = jnp.matmul(Q, index.model.R,
+                       preferred_element_type=jnp.float32)
+    elif index.model.method == "opq":
+        Q = jnp.matmul(Q, index.model.R,
+                       preferred_element_type=jnp.float32)
+    if jax.default_backend() == "cpu":
+        return linscan.exact_rescan(Q, index.scan_index.Xd,
+                                    index.scan_index.x2,
+                                    min(k, index.scan_index.n))
+    return scan_pallas.search(index.scan_index, Q,
+                              min(k, index.scan_index.n))

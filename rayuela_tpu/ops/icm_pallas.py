@@ -142,8 +142,11 @@ def icm_sweeps_pallas(X: Array, C: Array, B: Array, order: Array,
 
 def pallas_icm_available(m: int, h: int, d: int,
                          vmem_budget: int = 12 << 20) -> bool:
-    """Whether the VMEM-resident-tables kernel fits: T (bf16) + one-hot
-    + unaries + codebooks must stay under ~12 MB."""
+    """Whether the VMEM-resident-tables kernel applies: lane dims must
+    tile (h multiple of 128), and T (bf16) + one-hot + unaries +
+    codebooks must stay under ~12 MB."""
+    if h % 128 != 0:
+        return False
     mh = m * h
     need = (m * mh * h * 2        # T bf16
             + 256 * mh * (2 + 4)  # oh + u scratch at chunk=256

@@ -1,0 +1,45 @@
+"""High-level facade: train → index_base → search for every method."""
+
+import numpy as np
+import pytest
+
+from rayuela_tpu import api
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((10, 16)).astype(np.float32)
+
+    def draw(n):
+        a = rng.integers(0, 10, n)
+        return (centers[a]
+                + 0.2 * rng.standard_normal((n, 16))).astype(np.float32)
+
+    Xt, Xb = draw(800), draw(3000)
+    Q = Xb[:40] + 0.02 * rng.standard_normal((40, 16)).astype(np.float32)
+    return Xt, Xb, Q
+
+
+@pytest.mark.parametrize("method", ["pq", "opq", "rvq", "chainq",
+                                    "sr_d", "compq"])
+def test_facade_end_to_end(data, method):
+    Xt, Xb, Q = data
+    kw = {}
+    if method == "sr_d":
+        kw = dict(ilsiter=2, icmiter=2, npert=1, chunk=512)
+    model = api.train(Xt, method=method, m=4, h=16, niter=3, **kw)
+    enc_kw = dict(ilsiter=2, icmiter=2, npert=1, chunk=512) \
+        if method == "sr_d" else {}
+    index = api.index_base(model, Xb, **enc_kw)
+    dists, ids = api.search(index, Q, k=20)
+    ids = np.asarray(ids)
+    assert ids.shape == (40, 20)
+    hits = (ids == np.arange(40)[:, None]).any(axis=1).mean()
+    assert hits > 0.8, f"{method}: recall@20 {hits}"
+
+
+def test_facade_rejects_unknown_method(data):
+    Xt, _, _ = data
+    with pytest.raises(ValueError):
+        api.train(Xt, method="nope")
