@@ -51,12 +51,25 @@ def main():
     jax.block_until_ready(index.Xd)
 
     # Warm-up / compile; force materialization through the tunnel (the
-    # axon queue runs ahead of block_until_ready).
-    out = search(index, Q[:QCHUNK], KNN)
-    _ = np.asarray(out[0][0, :1])
+    # axon queue runs ahead of block_until_ready). If the remote
+    # compiler flakes on the Pallas kernel (observed intermittently),
+    # fall back to the exact XLA scan so the bench always reports.
+    do_search = search
+    try:
+        out = do_search(index, Q[:QCHUNK], KNN)
+        _ = np.asarray(out[0][0, :1])
+    except Exception as e:
+        print(f"# pallas path unavailable ({type(e).__name__}); "
+              "falling back to XLA scan", flush=True)
+        from rayuela_tpu.search.linscan import exact_rescan
+
+        def do_search(idx, q, k):
+            return exact_rescan(q, idx.Xd, idx.x2, k)
+        out = do_search(index, Q[:QCHUNK], KNN)
+        _ = np.asarray(out[0][0, :1])
 
     t0 = time.perf_counter()
-    outs = [search(index, Q[s:s + QCHUNK], KNN)
+    outs = [do_search(index, Q[s:s + QCHUNK], KNN)
             for s in range(0, NQ, QCHUNK)]
     jax.block_until_ready(outs)
     _ = np.asarray(outs[-1][0][0, 0])  # hard sync

@@ -159,11 +159,14 @@ def _lsq_family(key, ds, m, h, niter, knn, verbose, store, trial,
                             niter=niter, ilsiter=ilsiter,
                             icmiter=icmiter, npert=npert,
                             randord=randord, chunk=chunk)
-    # Base encode: random init codes + 4x ILS budget (reference
-    # `src/SR.jl:283-287`, `src/LSQ.jl:438-440`).
+    # Base encode: greedy sequential init + 4x ILS budget. The
+    # reference inits from RANDOM codes (`src/SR.jl:283-287`,
+    # `src/LSQ.jl:438-440`); greedy costs one extra pass and starts ILS
+    # orders of magnitude closer to the training optimum (random-init
+    # ILS can plateau far above train error on hard data).
     kb, ke = jax.random.split(jax.random.fold_in(key, 7))
-    nb = ds.Xb.shape[0]
-    Bb0 = jax.random.randint(kb, (nb, B.shape[1]), 0, h, jnp.int32)
+    from rayuela_tpu.models.rvq import quantize_rvq
+    Bb0, _ = quantize_rvq(model.codebooks, jnp.asarray(ds.Xb))
     Bb = encoding_icm(ke, jnp.asarray(ds.Xb), model.codebooks, Bb0,
                       ilsiter=ilsiter * 4, icmiter=icmiter, npert=npert,
                       randord=randord, chunk=chunk)
