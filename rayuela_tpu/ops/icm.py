@@ -161,24 +161,30 @@ def _encoding_icm_pallas(key: Array, X: Array, C: Array, B0: Array, *,
                          ilsiter: int, icmiter: int, npert: int,
                          randord: bool, interpret: bool = False) -> Array:
     """ILS wrapper (perturb / accept in XLA) around the VMEM-resident
-    Pallas sweep kernel; the ICM inner loop never touches HBM."""
+    Pallas sweep kernel. The kernel also emits the MRF energy of its
+    output codes, so acceptance needs no decode-based cost pass: the
+    loop carries ``(B, E(B))`` and each round costs one kernel call
+    (the |x|^2 constant cancels in comparisons; energies are the
+    bf16-model values the sweeps themselves optimize)."""
     from rayuela_tpu.ops.icm_pallas import icm_sweeps_pallas
-    from rayuela_tpu.ops.qerror import veccost_chunked
 
     n, d = X.shape
     m, h, _ = C.shape
     pkeys, orders = _ils_schedule(key, m, ilsiter, randord)
     B0 = B0.astype(jnp.int32)
+    _, E0 = icm_sweeps_pallas(X, C, B0, orders[0], 0,
+                              interpret=interpret)
 
-    def ils_round(t, B):
-        prev = veccost_chunked(X, C, B)
+    def ils_round(t, state):
+        B, E = state
         Bt = _perturb(pkeys[t], B, npert, h)
-        Bt = icm_sweeps_pallas(X, C, Bt, orders[t], icmiter,
-                               interpret=interpret)
-        new = veccost_chunked(X, C, Bt)
-        return jnp.where((new < prev)[:, None], Bt, B)
+        Bt, Et = icm_sweeps_pallas(X, C, Bt, orders[t], icmiter,
+                                   interpret=interpret)
+        keep = Et < E
+        return (jnp.where(keep[:, None], Bt, B), jnp.minimum(Et, E))
 
-    return lax.fori_loop(0, ilsiter, ils_round, B0)
+    B, _ = lax.fori_loop(0, ilsiter, ils_round, (B0, E0))
+    return B
 
 
 @partial(jax.jit, static_argnames=("ilsiter", "icmiter", "npert",

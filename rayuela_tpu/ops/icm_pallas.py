@@ -39,7 +39,7 @@ Array = jax.Array
 
 
 def _kernel(x_ref, b_ref, cflat_ref, c2_ref, t_ref,
-            bout_ref, oh_scr, u_scr, *, m: int, h: int, c: int,
+            bout_ref, eng_ref, oh_scr, u_scr, *, m: int, h: int, c: int,
             icmiter: int):
     """Inputs arrive PERMUTED by the sweep's node order (host side), so
     every index below is static: nodes are visited 0..m-1 and all
@@ -63,8 +63,7 @@ def _kernel(x_ref, b_ref, cflat_ref, c2_ref, t_ref,
 
     bout_ref[:] = b_ref[:]
 
-    for t in range(icmiter * m):
-        i = t % m
+    def conditional(i):
         # m-1 independent (c, h) x (h, h) matmuls (Mosaic has no multi-
         # contracting-dim matmul); their independence lets the MXU
         # pipeline them back-to-back within the visit.
@@ -72,20 +71,35 @@ def _kernel(x_ref, b_ref, cflat_ref, c2_ref, t_ref,
             oh_scr[j], t_ref[i, j], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
             for j in range(m) if j != i]
-        cond = u_scr[i] + sum(parts)                      # (c, h)
-        newb = jnp.argmin(cond, axis=-1).astype(jnp.int32)
+        return u_scr[i] + sum(parts)                      # (c, h)
+
+    for t in range(icmiter * m):
+        i = t % m
+        newb = jnp.argmin(conditional(i), axis=-1).astype(jnp.int32)
         bout_ref[i, :] = newb
         oh_scr[i] = (lanes == newb[:, None]).astype(oh_scr.dtype)
+
+    # Exact MRF energy of the final codes (up to the per-vector |x|^2
+    # constant): E = 0.5 * sum_i [cond_i(B_i) + u_i(B_i)] — one more
+    # conditioning pass; emitting it here saves the caller a full
+    # decode-based cost evaluation per ILS round.
+    acc = jnp.zeros((c,), jnp.float32)
+    for i in range(m):
+        pick = oh_scr[i].astype(jnp.float32)
+        acc = acc + jnp.sum((conditional(i) + u_scr[i]) * pick, axis=-1)
+    eng_ref[0, :] = 0.5 * acc
 
 
 @functools.partial(jax.jit,
                    static_argnames=("icmiter", "chunk", "interpret"))
 def icm_sweeps_pallas(X: Array, C: Array, B: Array, order: Array,
                       icmiter: int, chunk: int = 256,
-                      interpret: bool = False) -> Array:
+                      interpret: bool = False) -> tuple[Array, Array]:
     """``icmiter`` ICM sweeps for all vectors. ``X (n, d)``,
     ``C (m, h, d)``, ``B (n, m)`` int32, ``order (m,)`` int32 node
-    order. Returns updated codes (n, m)."""
+    order. Returns ``(codes (n, m), energy (n,))`` where energy is the
+    bf16-model MRF energy (no |x|^2 term). ``icmiter=0`` just evaluates
+    the energy of the incoming codes."""
     from rayuela_tpu.ops.qerror import get_binaries
 
     n, d = X.shape
@@ -113,7 +127,7 @@ def icm_sweeps_pallas(X: Array, C: Array, B: Array, order: Array,
 
     kern = functools.partial(_kernel, m=m, h=h, c=chunk,
                              icmiter=icmiter)
-    Bout = pl.pallas_call(
+    Bout, eng = pl.pallas_call(
         kern,
         grid=(nchunks,),
         in_specs=[
@@ -128,16 +142,23 @@ def icm_sweeps_pallas(X: Array, C: Array, B: Array, order: Array,
             pl.BlockSpec((m, m, h, h), lambda q: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, chunk), lambda q: (0, q),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, npad), jnp.int32),
+        out_specs=(
+            pl.BlockSpec((m, chunk), lambda q: (0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda q: (0, q),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, npad), jnp.int32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((m, chunk, h), jnp.bfloat16),  # one-hot indicator
             pltpu.VMEM((m, chunk, h), jnp.float32),   # unaries
         ],
         interpret=interpret,
     )(Xp, Bp, Cflat, c2, T)
-    return jnp.take(Bout.T[:n], inv, axis=1)
+    return jnp.take(Bout.T[:n], inv, axis=1), eng[0, :n]
 
 
 def pallas_icm_available(m: int, h: int, d: int,

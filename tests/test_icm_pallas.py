@@ -25,8 +25,33 @@ def xla_sweeps(X, C, B, order, icmiter):
 
 def run_pallas(X, C, B, order, icmiter, chunk=64):
     from rayuela_tpu.ops.icm_pallas import icm_sweeps_pallas
-    return icm_sweeps_pallas(X, C, B, order, icmiter, chunk=chunk,
+    B, _ = icm_sweeps_pallas(X, C, B, order, icmiter, chunk=chunk,
                              interpret=True)
+    return B
+
+
+def test_energy_output_matches_mrf_energy(rng):
+    """The kernel's emitted energy must equal the exact MRF energy of
+    its output codes (bf16-exact integer data)."""
+    from rayuela_tpu.ops.icm_pallas import icm_sweeps_pallas
+    from rayuela_tpu.ops.qerror import veccost
+    n, d, m, h = 200, 8, 4, 8
+    X = jnp.asarray(rng.integers(-1, 2, (n, d)), jnp.float32)
+    C = jnp.asarray(rng.integers(-1, 2, (m, h, d)), jnp.float32)
+    B = jnp.asarray(rng.integers(0, h, (n, m)), jnp.int32)
+    order = jnp.arange(m, dtype=jnp.int32)
+    out, eng = icm_sweeps_pallas(X, C, B, order, 1, chunk=64,
+                                 interpret=True)
+    # E + |x|^2 == reconstruction cost
+    expect = np.asarray(veccost(X, C, np.asarray(out))) - \
+        (np.asarray(X) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(eng), expect, atol=1e-3)
+    # icmiter=0 evaluates the energy of the INPUT codes
+    _, eng0 = icm_sweeps_pallas(X, C, B, order, 0, chunk=64,
+                                interpret=True)
+    expect0 = np.asarray(veccost(X, C, np.asarray(B))) - \
+        (np.asarray(X) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(eng0), expect0, atol=1e-3)
 
 
 def test_exact_on_integer_data(rng):
