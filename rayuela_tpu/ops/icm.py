@@ -127,11 +127,11 @@ def encoding_icm(key: Array, X: Array, C: Array, B0: Array, *,
     (`rayuela_tpu.ops.icm_pallas`) on TPU when the conditioning tables
     fit VMEM, the XLA formulation otherwise; "xla" / "pallas" force."""
     if impl == "auto":
-        # The Pallas sweep kernel currently miscompares against the XLA
-        # path on real TPU (garbage codes at m=7 h=256 — interpret mode
-        # is exact; under investigation), so auto stays on XLA. Opt in
-        # with impl="pallas" once validated.
-        impl = "xla"
+        from rayuela_tpu.ops.icm_pallas import pallas_icm_available
+        on_tpu = jax.default_backend() != "cpu"
+        impl = "pallas" if (on_tpu and
+                            pallas_icm_available(C.shape[0], C.shape[1],
+                                                 C.shape[2])) else "xla"
     if impl in ("pallas", "pallas-interpret"):
         return _encoding_icm_pallas(key, X, C, B0, ilsiter=ilsiter,
                                     icmiter=icmiter, npert=npert,
