@@ -37,6 +37,16 @@ QCHUNK = 2_000
 
 def main():
     import jax
+
+    # Persistent compile cache: first-ever compile of the scan kernels
+    # through the remote compiler can take minutes; later runs reuse it.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/rayuela_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from rayuela_tpu.search.scan_pallas import build_index, search
