@@ -268,12 +268,20 @@ def run_train_query_base(dataset: str | Dataset = "sift1m", m: int = 8,
                          h: int = 256, niter: int = 25,
                          ntrials: int = 1, knn: int = 1000,
                          methods=ALL_METHODS, results_dir: str = "results",
-                         verbose: bool = True, seed: int = 0, **exp_kw):
+                         verbose: bool = True, seed: int = 0,
+                         resume: bool = False, **exp_kw):
     """The full protocol of `demos/demos_train_query_base.jl:9-96`:
     every method at equal bits-per-vector (PQ/OPQ: m codebooks;
     non-orthogonal: m-1 + norms byte), staged OPQ→ChainQ→LSQ/SR init
-    shared within a trial, results per (dataset, method) HDF5 file."""
+    shared within a trial, results per (dataset, method) HDF5 file.
+
+    ``resume=True`` reproduces the reference's crash-recovery behavior
+    (`demos/demos_train_query_base.jl:31-58`): (method, trial) pairs
+    already in the store are skipped, and a completed ChainQ stage is
+    reloaded from HDF5 to re-seed the LSQ/SR stages."""
     import os
+
+    from rayuela_tpu.experiments.store import list_trials, load_results
     ds = read_dataset(dataset) if isinstance(dataset, str) else dataset
     os.makedirs(results_dir, exist_ok=True)
     results: dict = {}
@@ -283,6 +291,18 @@ def run_train_query_base(dataset: str | Dataset = "sift1m", m: int = 8,
         for method in methods:
             t0 = time.time()
             path = os.path.join(results_dir, f"{ds.name}_{method}.h5")
+            if resume and trial in list_trials(path):
+                saved = load_results(path, trial)
+                if method == "chainq" and "R" in saved:
+                    chain_init = (jnp.asarray(saved["B"]),
+                                  jnp.asarray(saved["R"]))
+                if verbose:
+                    print(f"[trial {trial}] {method}: resumed from "
+                          f"{path}")
+                results.setdefault(method, []).append(
+                    dict(name=method, recall=saved.get("recall"),
+                         resumed=True))
+                continue
             if method in ("pq", "opq"):
                 fn = experiment_pq if method == "pq" else experiment_opq
                 out = fn(key, ds, m, h, niter, knn, verbose, path, trial)

@@ -105,3 +105,18 @@ def test_query_base_protocol_and_high_recall(tmp_path):
     assert set(out) == {1, 4}
     # more ILS budget can only help (within noise)
     assert out[4][49] >= out[1][49] - 0.05
+
+
+def test_resume_skips_completed_trials(tmp_path):
+    from rayuela_tpu.experiments.datasets import make_synthetic
+    from rayuela_tpu.experiments.drivers import run_train_query_base
+    ds = make_synthetic(d=16, ntrain=600, nbase=1200, nquery=30,
+                        ncenters=8, seed=4, name="rz")
+    kw = dict(m=4, h=16, niter=2, ntrials=1, knn=20,
+              methods=("pq", "chainq"), results_dir=str(tmp_path),
+              verbose=False)
+    r1 = run_train_query_base(ds, **kw)
+    r2 = run_train_query_base(ds, resume=True, **kw)
+    assert all(o[0].get("resumed") for o in r2.values())
+    np.testing.assert_allclose(r2["pq"][0]["recall"],
+                               r1["pq"][0]["recall"])
