@@ -359,6 +359,43 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int = 48,
     return dists, ids
 
 
+def search_streamed(C: Array, B, Q: Array, k: int, *,
+                    pq: bool = False, d: int | None = None,
+                    norm_term=None, shard_size: int = 1 << 20,
+                    interpret: bool = False) -> tuple[Array, Array]:
+    """Search a base set too large to decode into HBM at once: codes
+    stream from host memory shard by shard (each shard is decoded,
+    scanned with the fused kernel, and released), and the per-shard
+    top-k lists merge exactly on host.
+
+    The single-chip analogue of the reference's >GPU-memory tiling
+    (``nsplits``, `src/LSQ_GPU.jl:218-264`) applied to the query path;
+    on a pod slice, prefer `rayuela_tpu.parallel.mesh.sharded_scan_topk`
+    (codes sharded across chips) instead.
+    """
+    n = B.shape[0]
+    d = Q.shape[1] if d is None else d
+    best_v = best_i = None
+    for start in range(0, n, shard_size):
+        stop = min(start + shard_size, n)
+        Bs = jnp.asarray(B[start:stop])
+        nt = None if norm_term is None else jnp.asarray(
+            norm_term[start:stop])
+        idx = build_index(C, Bs, pq=pq, d=d, norm_term=nt)
+        dv, di = search(idx, Q, min(k, stop - start),
+                        interpret=interpret)
+        dv, di = np.asarray(dv), np.asarray(di) + start
+        if best_v is None:
+            best_v, best_i = dv, di
+        else:
+            cat_v = np.concatenate([best_v, dv], axis=1)
+            cat_i = np.concatenate([best_i, di], axis=1)
+            order = np.argsort(cat_v, axis=1)[:, :k]
+            best_v = np.take_along_axis(cat_v, order, axis=1)
+            best_i = np.take_along_axis(cat_i, order, axis=1)
+    return jnp.asarray(best_v), jnp.asarray(best_i)
+
+
 def decode_base(C: Array, B: Array, *, pq: bool = False,
                 d: int | None = None, norm_term: Array | None = None,
                 dtype=jnp.float32, chunk: int = 65536

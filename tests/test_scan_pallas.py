@@ -98,3 +98,27 @@ def test_k_validation(rng):
     Xd = rng.standard_normal((1000, 32)).astype(np.float32)
     with pytest.raises(ValueError):
         run(Q, Xd, k=24 * 128 + 1, r=24, bq=4, tile=1024)
+
+
+def test_search_streamed_matches_single_shot(rng):
+    """Shard-streamed search == one-shot search, exactly."""
+    from rayuela_tpu.search.scan_pallas import (build_index, search,
+                                                search_streamed)
+    from tests.conftest import random_dataset
+    X, C, B = random_dataset(rng, d=24, n=3000, m=3, h=16)
+    Q = jnp.asarray(rng.standard_normal((10, 24)).astype(np.float32))
+    idx = build_index(jnp.asarray(C), jnp.asarray(B), d=24)
+    dv1, di1 = search(idx, Q, 25, interpret=True)
+    dv2, di2 = search_streamed(jnp.asarray(C), np.asarray(B), Q, 25,
+                               d=24, shard_size=1100, interpret=True)
+    # same top-k VALUES (ids can permute among duplicate-decode ties —
+    # with h=16 codes many base rows decode identically)
+    np.testing.assert_allclose(np.asarray(dv2), np.asarray(dv1),
+                               rtol=1e-5, atol=1e-4)
+    # and every returned id's true distance matches its reported rank
+    from rayuela_tpu.ops.qerror import reconstruct
+    Xd = np.asarray(reconstruct(C, B))
+    D = ((np.asarray(Q)[:, None, :] - Xd[None]) ** 2).sum(-1)
+    picked = np.take_along_axis(D, np.asarray(di2), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(dv2),
+                               rtol=1e-4, atol=1e-3)
