@@ -127,10 +127,10 @@ def encoding_icm(key: Array, X: Array, C: Array, B0: Array, *,
     (`rayuela_tpu.ops.icm_pallas`) on TPU when the conditioning tables
     fit VMEM, the XLA formulation otherwise; "xla" / "pallas" force."""
     if impl == "auto":
-        from rayuela_tpu.ops.icm_pallas import pallas_icm_available
+        from rayuela_tpu.ops.icm_pallas import pallas_icm_supported
         on_tpu = jax.default_backend() != "cpu"
         impl = "pallas" if (on_tpu and
-                            pallas_icm_available(C.shape[0], C.shape[1],
+                            pallas_icm_supported(C.shape[0], C.shape[1],
                                                  C.shape[2])) else "xla"
     if impl in ("pallas", "pallas-interpret"):
         return _encoding_icm_pallas(key, X, C, B0, ilsiter=ilsiter,

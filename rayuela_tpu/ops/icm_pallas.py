@@ -90,11 +90,65 @@ def _kernel(x_ref, b_ref, cflat_ref, c2_ref, t_ref,
     eng_ref[0, :] = 0.5 * acc
 
 
+def _kernel_streamed(x_ref, b_ref, cflat_ref, c2_ref, t_hbm,
+                     bout_ref, eng_ref, oh_scr, u_scr, tbuf, sem,
+                     *, m: int, h: int, c: int, icmiter: int):
+    """Streaming variant for m too large to hold all m^2 h^2 tables in
+    VMEM (the 128-bit m=15/16 configs): the conditioning tables live in
+    HBM and each node's (m*h, h) slice is DMA'd into a double buffer,
+    prefetched one visit ahead — the copy (~2 MB at m=16) overlaps the
+    visit's ~130 MFlop of matmuls."""
+    u = c2_ref[:] - 2.0 * lax.dot_general(
+        x_ref[:], cflat_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (c, mh)
+    u_scr[:] = jnp.transpose(u.reshape(c, m, h), (1, 0, 2))
+
+    lanes = lax.broadcasted_iota(jnp.int32, (c, h), 1)
+    for j in range(m):
+        oh_scr[j] = (lanes == b_ref[j, :][:, None]).astype(oh_scr.dtype)
+    bout_ref[:] = b_ref[:]
+
+    nvisit = icmiter * m
+    total = nvisit + m              # sweeps + one energy pass
+
+    def dma(slot, node):
+        return pltpu.make_async_copy(t_hbm.at[node], tbuf.at[slot],
+                                     sem.at[slot])
+
+    def conditional(i, slot):
+        parts = [lax.dot_general(
+            oh_scr[j], tbuf[slot, j * h:(j + 1) * h, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            for j in range(m) if j != i]
+        return u_scr[i] + sum(parts)                     # (c, h)
+
+    dma(0, 0).start()
+    acc = jnp.zeros((c,), jnp.float32)
+    for t in range(total):
+        i, slot = t % m, t % 2
+        if t + 1 < total:
+            dma((t + 1) % 2, (t + 1) % m).start()
+        dma(slot, i).wait()
+        cond = conditional(i, slot)
+        if t < nvisit:              # ICM visit: argmin + write
+            newb = jnp.argmin(cond, axis=-1).astype(jnp.int32)
+            bout_ref[i, :] = newb
+            oh_scr[i] = (lanes == newb[:, None]).astype(oh_scr.dtype)
+        else:                       # energy pass over the final codes
+            pick = oh_scr[i].astype(jnp.float32)
+            acc = acc + jnp.sum((cond + u_scr[i]) * pick, axis=-1)
+    eng_ref[0, :] = 0.5 * acc
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("icmiter", "chunk", "interpret"))
+                   static_argnames=("icmiter", "chunk", "interpret",
+                                    "force_streamed"))
 def icm_sweeps_pallas(X: Array, C: Array, B: Array, order: Array,
                       icmiter: int, chunk: int = 256,
-                      interpret: bool = False) -> tuple[Array, Array]:
+                      interpret: bool = False,
+                      force_streamed: bool = False
+                      ) -> tuple[Array, Array]:
     """``icmiter`` ICM sweeps for all vectors. ``X (n, d)``,
     ``C (m, h, d)``, ``B (n, m)`` int32, ``order (m,)`` int32 node
     order. Returns ``(codes (n, m), energy (n,))`` where energy is the
@@ -125,37 +179,53 @@ def icm_sweeps_pallas(X: Array, C: Array, B: Array, order: Array,
     Bp = jnp.pad(jnp.take(B, order, axis=1),
                  ((0, npad - n), (0, 0))).T                  # (m, npad)
 
-    kern = functools.partial(_kernel, m=m, h=h, c=chunk,
-                             icmiter=icmiter)
+    # resident vs streamed is purely a VMEM-size decision here (lane
+    # tiling legality is the callers' pallas_icm_* gates)
+    resident = (m * mh * h * 2 <= (8 << 20)) and not force_streamed
+    common_in = [
+        pl.BlockSpec((chunk, d), lambda q: (q, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, chunk), lambda q: (0, q),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mh, d), lambda q: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, mh), lambda q: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    common_out = (
+        pl.BlockSpec((m, chunk), lambda q: (0, q),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk), lambda q: (0, q),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((m, npad), jnp.int32),
+        jax.ShapeDtypeStruct((1, npad), jnp.float32),
+    )
+    scratch = [
+        pltpu.VMEM((m, chunk, h), jnp.bfloat16),  # one-hot indicator
+        pltpu.VMEM((m, chunk, h), jnp.float32),   # unaries
+    ]
+    if resident:
+        kern = functools.partial(_kernel, m=m, h=h, c=chunk,
+                                 icmiter=icmiter)
+        t_spec = pl.BlockSpec((m, m, h, h), lambda q: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        # tables stay in HBM, streamed per node visit (m=15/16 configs)
+        kern = functools.partial(_kernel_streamed, m=m, h=h, c=chunk,
+                                 icmiter=icmiter)
+        t_spec = pl.BlockSpec(memory_space=pl.ANY)
+        T = T.reshape(m, mh, h)
+        scratch += [pltpu.VMEM((2, mh, h), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA((2,))]
     Bout, eng = pl.pallas_call(
         kern,
         grid=(nchunks,),
-        in_specs=[
-            pl.BlockSpec((chunk, d), lambda q: (q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, chunk), lambda q: (0, q),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mh, d), lambda q: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mh), lambda q: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, m, h, h), lambda q: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((m, chunk), lambda q: (0, q),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda q: (0, q),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((m, npad), jnp.int32),
-            jax.ShapeDtypeStruct((1, npad), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((m, chunk, h), jnp.bfloat16),  # one-hot indicator
-            pltpu.VMEM((m, chunk, h), jnp.float32),   # unaries
-        ],
+        in_specs=common_in + [t_spec],
+        out_specs=common_out,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(Xp, Bp, Cflat, c2, T)
     return jnp.take(Bout.T[:n], inv, axis=1), eng[0, :n]
@@ -165,11 +235,26 @@ def pallas_icm_available(m: int, h: int, d: int,
                          vmem_budget: int = 12 << 20) -> bool:
     """Whether the VMEM-resident-tables kernel applies: lane dims must
     tile (h multiple of 128), and T (bf16) + one-hot + unaries +
-    codebooks must stay under ~12 MB."""
+    codebooks must stay under ~12 MB (m <= ~11 at h=256)."""
     if h % 128 != 0:
         return False
     mh = m * h
     need = (m * mh * h * 2        # T bf16
+            + 256 * mh * (2 + 4)  # oh + u scratch at chunk=256
+            + mh * d * 2)         # Cflat
+    return need <= vmem_budget
+
+
+def pallas_icm_supported(m: int, h: int, d: int,
+                         vmem_budget: int = 12 << 20) -> bool:
+    """Whether EITHER kernel variant applies (resident tables, or the
+    HBM-streamed double-buffered variant — covers m=15/16 at h=256)."""
+    if h % 128 != 0:
+        return False
+    if pallas_icm_available(m, h, d, vmem_budget):
+        return True
+    mh = m * h
+    need = (2 * mh * h * 2        # double-buffered T_i slices
             + 256 * mh * (2 + 4)  # oh + u scratch at chunk=256
             + mh * d * 2)         # Cflat
     return need <= vmem_budget

@@ -114,3 +114,30 @@ def test_full_ils_pallas_path(rng):
     c1 = np.asarray(veccost(X, C, np.asarray(B)))
     assert (c1 <= c0 + 1e-3).all()
     assert c1.mean() < 0.7 * c0.mean()
+
+
+def test_streamed_variant_matches_resident(rng):
+    """The HBM-streamed double-buffered kernel (m=15/16 path) must give
+    exactly the resident kernel's codes and energies."""
+    from rayuela_tpu.ops.icm_pallas import icm_sweeps_pallas
+    n, d, m, h = 300, 16, 4, 8
+    X = jnp.asarray(rng.integers(-1, 2, (n, d)), jnp.float32)
+    C = jnp.asarray(rng.integers(-1, 2, (m, h, d)), jnp.float32)
+    B = jnp.asarray(rng.integers(0, h, (n, m)), jnp.int32)
+    order = jnp.asarray([1, 3, 0, 2], jnp.int32)
+    Br, Er = icm_sweeps_pallas(X, C, B, order, 2, chunk=64,
+                               interpret=True)
+    Bs, Es = icm_sweeps_pallas(X, C, B, order, 2, chunk=64,
+                               interpret=True, force_streamed=True)
+    np.testing.assert_array_equal(np.asarray(Bs), np.asarray(Br))
+    np.testing.assert_allclose(np.asarray(Es), np.asarray(Er),
+                               atol=1e-3)
+
+
+def test_supported_covers_m16():
+    from rayuela_tpu.ops.icm_pallas import (pallas_icm_available,
+                                            pallas_icm_supported)
+    assert not pallas_icm_available(16, 256, 128)
+    assert pallas_icm_supported(16, 256, 128)
+    assert pallas_icm_supported(15, 256, 128)
+    assert not pallas_icm_supported(16, 100, 128)   # lane tiling
