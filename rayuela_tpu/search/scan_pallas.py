@@ -340,12 +340,19 @@ def build_index(C: Array, B: Array, *, pq: bool = False,
     return LinscanIndex(Xd, x2)
 
 
-def search(index: LinscanIndex, Q: Array, k: int, *, r: int = 48,
+def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
            bq: int = 128, tile: int = 2048, interpret: bool = False
            ) -> tuple[Array, Array]:
     """Exact top-k search: Pallas fast path + XLA re-run for any query
     the verification kernel flags (host-side check, so shapes stay
-    static under jit)."""
+    static under jit).
+
+    ``r`` (per-lane buffer depth) auto-sizes from k: shallow buffers
+    roughly halve the bitonic work for k <= 512 (expected per-lane
+    occupancy k/128 stays far below r; overflows are caught by the
+    verification kernel and re-run exactly either way)."""
+    if r is None:
+        r = 16 if k <= 512 else 48
     dists, ids, flagged = pallas_scan_topk(
         Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
         verify=True, interpret=interpret)
