@@ -44,7 +44,7 @@ def make_sr_train_step(mesh: Mesh, *, h: int, niter: int,
     Returned step: ``(X, B, C, it, key) -> (C', B', obj)`` with X and B
     sharded on the ``data`` axis, C replicated. ``method='LSQ'`` skips
     the SR noise (plain LSQ step)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local_step(X, B, C, it, key):
         # --- codebook update: local stats + psum over ICI ---
@@ -74,7 +74,7 @@ def make_sr_train_step(mesh: Mesh, *, h: int, niter: int,
         local_step, mesh=mesh,
         in_specs=(P("data", None), P("data", None), P(), P(), P()),
         out_specs=(P(), P("data", None), P()),
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def step(X, B, C, it, key):

@@ -77,7 +77,7 @@ def sharded_scan_topk(mesh: Mesh, Q: Array, C: Array, B: Array, *,
     host's memory (`deps/src/linscan_aqd.cpp:55-61`); the merge is the
     all-gather step of SURVEY.md §2.5.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from rayuela_tpu.search.linscan import scan_topk
 
@@ -109,8 +109,52 @@ def sharded_scan_topk(mesh: Mesh, Q: Array, C: Array, B: Array, *,
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), P(), P("data", None), P("data")),
-                   out_specs=(P(), P()), check_rep=False)
+                   out_specs=(P(), P()), check_vma=False)
     return jax.jit(fn)(Q, C, Bp, nt)
+
+
+def sharded_search(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
+                   k: int, r: int | None = None, bq: int = 128,
+                   tile: int = 2048, interpret: bool = False):
+    """Multi-chip fused search: the DECODED index shards over ``data``
+    (each chip holds n/P decoded rows — this is how a pod slice holds
+    SIFT1B-class bases), queries replicate, each chip runs the fused
+    Pallas scan kernel on its shard, and the (nq, k) partial lists
+    merge with one all-gather + top-k.
+
+    Returns ``(dists, ids, flagged)``; flagged queries (per-lane buffer
+    overflow on some shard) should re-run via the exact XLA path
+    (`sharded_scan_topk`) — same contract as the single-chip `search`.
+    """
+    from jax import shard_map
+
+    from rayuela_tpu.search.scan_pallas import pallas_scan_topk
+
+    if r is None:
+        r = 16 if k <= 512 else 48
+    ndata = mesh.shape["data"]
+    Xp, n = pad_to_multiple(Xd, ndata)
+    x2p, _ = pad_to_multiple(x2, ndata, fill=jnp.inf)
+    shard_n = Xp.shape[0] // ndata
+    klocal = min(k, shard_n)
+
+    def local(Q, Xd, x2):
+        d, i, fl = pallas_scan_topk(Q, Xd, x2, k=klocal, r=r, bq=bq,
+                                    tile=tile, verify=True,
+                                    interpret=interpret)
+        shard = jax.lax.axis_index("data")
+        i = i + shard * shard_n
+        d = jnp.where(i < n, d, jnp.inf)
+        dg = jax.lax.all_gather(d, "data", axis=1, tiled=True)
+        ig = jax.lax.all_gather(i, "data", axis=1, tiled=True)
+        neg, loc = jax.lax.top_k(-dg, min(k, ndata * klocal))
+        fl = jax.lax.psum(fl.astype(jnp.int32), "data") > 0
+        return -neg, jnp.take_along_axis(ig, loc, axis=1), fl
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P("data", None), P("data")),
+                   out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(fn)(Q, Xp, x2p)
 
 
 @partial(jax.jit, static_argnames=("h",), donate_argnums=(1,))

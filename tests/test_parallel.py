@@ -35,7 +35,7 @@ def test_sharded_scan_matches_local(rng, mesh):
 
 
 def test_sharded_stats_match_single_device(rng, mesh):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from rayuela_tpu.ops.codebook_update import codebook_stats
     X, _, B = random_dataset(rng, d=12, n=800, m=3, h=8)
 
@@ -45,7 +45,7 @@ def test_sharded_stats_match_single_device(rng, mesh):
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P("data", None), P("data", None)),
-                   out_specs=(P(), P()), check_rep=False)
+                   out_specs=(P(), P()), check_vma=False)
     G_sh, F_sh = jax.jit(fn)(jnp.asarray(X), jnp.asarray(B))
     G, F = codebook_stats(jnp.asarray(X), jnp.asarray(B), 8, chunk=128)
     np.testing.assert_allclose(np.asarray(G_sh), np.asarray(G),
@@ -110,3 +110,21 @@ def test_pq_lloyd_sharded_matches_unsharded(rng, mesh):
     np.testing.assert_allclose(np.asarray(new_c),
                                np.asarray(jnp.stack(ref_c)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_pallas_search_matches_local(rng, mesh):
+    """Decoded-index sharded search (fused kernel per shard, interpret
+    mode) == single-device exact scan."""
+    from rayuela_tpu.parallel.mesh import sharded_search
+    from rayuela_tpu.search.linscan import exact_rescan
+    n, d, nq, k = 2111, 16, 6, 15   # ragged vs 4-way shard
+    Xd = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    x2 = jnp.sum(Xd * Xd, axis=-1)
+    Q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    d_ref, i_ref = exact_rescan(Q, Xd, x2, k)
+    d_sh, i_sh, fl = sharded_search(mesh, Xd, x2, Q, k=k, r=16, bq=8,
+                                    tile=2048, interpret=True)
+    assert not np.asarray(fl).any()
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                               rtol=1e-4, atol=1e-3)
