@@ -19,9 +19,9 @@ set it apart from both the reference and the pure-XLA fallback
    sort/merge networks on the VPU — which overlaps with the next tile's
    MXU matmul. The scan emits (Bq, R, 128) candidates; the true top-k
    is inside them unless some lane held more than R of it. A cheap
-   **verification kernel** counts, per lane, how many scores beat that
-   lane's worst kept value; any overflowing query is re-run through the
-   exact XLA path. The combined result is exact, always.
+   **verification kernel** counts, per lane, how many scores fall below
+   the global k-th value; any query with an overflowing lane is re-run
+   through the exact XLA path. The combined result is exact, always.
 
 Scratch persists across the tile grid dimension (TPU grids execute
 sequentially), which is what makes the running buffer possible.
