@@ -3,8 +3,8 @@ default_objective is exercised by the experiments suite's methods)."""
 
 import numpy as np
 
-from rayuela_tpu.experiments.hpo import (INCUMBENTS, LSQConfig, optimize,
-                                         sample_config)
+from rayuela_tpu.experiments.hpo import (INCUMBENTS, LSQConfig, incumbent,
+                                         optimize, sample_config)
 
 
 def test_sample_config_in_space():
@@ -12,7 +12,7 @@ def test_sample_config_in_space():
     for _ in range(100):
         c = sample_config(rng, m=7)
         assert 1 <= c.ilsiter <= 16
-        assert 1 <= c.npert <= 7
+        assert 0 <= c.npert <= 6
         assert c.method in ("LSQ", "SR_C", "SR_D")
         assert c.schedule in (1, 2, 3)
         assert 0.1 <= c.p <= 1.0
@@ -32,7 +32,36 @@ def test_optimize_finds_planted_optimum():
     assert abs(best.ilsiter - 12) <= 3
 
 
-def test_incumbents_match_reference_protocol():
-    assert INCUMBENTS["sift1m"].method == "SR_D"
-    assert INCUMBENTS["labelme22k"].method == "SR_C"
-    assert all(c.icmiter == 4 for c in INCUMBENTS.values())
+def test_incumbents_quote_reference_verbatim():
+    """Pin INCUMBENTS to the call rows at `smac/test_lsq.jl:208-226`,
+    read against the positional signature (dataset, m, h, niter,
+    sr_method, ilsiter, icmiter, randord, npert, schedule, p)
+    (`smac/test_lsq.jl:90-101,149-160`)."""
+    rows = {
+        # dataset, m: (method, ilsiter, icmiter, randord, npert, sched, p)
+        ("labelme", 8): ("SR_D", 9, 3, True, 1, 1, 0.43098784299895454),
+        ("labelme", 16): ("SR_D", 8, 4, True, 4, 1, 0.5),
+        ("mnist", 8): ("SR_D", 9, 3, False, 5, 1, 0.18979255389609623),
+        ("mnist", 16): ("SR_D", 8, 4, False, 4, 1, 0.8282107865533627),
+        ("sift1m", 8): ("SR_D", 8, 4, True, 4, 1, 0.6458745069743886),
+        ("sift1m", 16): ("SR_D", 7, 4, True, 2, 1, 0.18722222602931293),
+        ("deep1m", 8): ("SR_D", 8, 4, True, 4, 1, 0.5),
+        ("deep1m", 16): ("SR_C", 15, 2, True, 2, 1, 0.9534092523209057),
+        ("convnet1m", 8): ("SR_C", 8, 4, True, 4, 1, 0.7134116312190524),
+        ("convnet1m", 16): ("SR_C", 10, 3, False, 5, 1, 0.937363908221641),
+    }
+    assert set(INCUMBENTS) == set(rows)
+    for key, (meth, ils, icm, ro, npert, sched, p) in rows.items():
+        c = INCUMBENTS[key]
+        assert (c.method, c.ilsiter, c.icmiter, c.randord, c.npert,
+                c.schedule) == (meth, ils, icm, ro, npert, sched), key
+        assert c.p == p, key
+
+
+def test_incumbent_lookup_aliases():
+    assert incumbent("LabelMe22K", 8) is INCUMBENTS[("labelme", 8)]
+    assert incumbent("SIFT1M", 16) is INCUMBENTS[("sift1m", 16)]
+    assert incumbent("unknown-dataset") == LSQConfig()
+    # explicit icmiter overrides the 32//ilsiter coupling
+    assert INCUMBENTS[("deep1m", 16)].icmiter == 2
+    assert LSQConfig(ilsiter=8).icmiter == 4
