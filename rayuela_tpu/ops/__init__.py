@@ -1,8 +1,10 @@
 """Core math ops (reference layer L2 + native-kernel equivalents)."""
 
 from rayuela_tpu.ops.codebook_update import (chain_dims, codebook_stats,
+                                             get_cbdims_chain,
                                              update_codebooks,
-                                             update_codebooks_chain)
+                                             update_codebooks_chain,
+                                             update_codebooks_generic)
 from rayuela_tpu.ops.icm import encoding_icm, encoding_icm_checkpoints
 from rayuela_tpu.ops.kmeans import KMeansResult, assign
 # NOTE: the `kmeans` and `qerror` FUNCTIONS are not re-exported here —
@@ -17,8 +19,8 @@ from rayuela_tpu.ops.viterbi import chain_binaries, viterbi_encode
 __all__ = [
     "KMeansResult", "assign", "chain_binaries", "chain_dims",
     "codebook_stats", "encoding_icm", "encoding_icm_checkpoints",
-    "get_binaries", "get_unaries", "qerror_opq",
+    "get_binaries", "get_cbdims_chain", "get_unaries", "qerror_opq",
     "qerror_pq", "reconstruct", "reconstruct_pq", "update_codebooks",
-    "update_codebooks_chain", "veccost", "veccost_chunked",
-    "viterbi_encode",
+    "update_codebooks_chain", "update_codebooks_generic", "veccost",
+    "veccost_chunked", "viterbi_encode",
 ]

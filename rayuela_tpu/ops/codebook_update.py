@@ -173,3 +173,73 @@ def update_codebooks_chain(X: Array, B: Array, h: int = 256,
     d, m = X.shape[1], B.shape[1]
     G, F = codebook_stats(X, B, h, chunk=chunk)
     return _chain_solve(G, F, h=h, d=d, m=m, rho=rho)
+
+
+# ---------------------------------------------------------------------------
+# Generic structured update (arbitrary dimension supports)
+# ---------------------------------------------------------------------------
+
+def get_cbdims_chain(d: int, m: int):
+    """Chain support structure as a ``(d, m)`` boolean map: the d dims
+    split into m-1 balanced ranges; codebook i supports ranges i-1 and
+    i. Reference ``get_cbdims_chain`` (`src/codebook_update.jl:280-294`,
+    which returns per-codebook dim ranges — transposed here to the
+    dim→codebooks map its caller builds at `:324-326`)."""
+    import numpy as np
+
+    dim2C = np.zeros((d, m), dtype=bool)
+    for i, (st, sz) in enumerate(splitarray(d, m - 1)):
+        dim2C[st:st + sz, i] = True
+        dim2C[st:st + sz, i + 1] = True
+    return dim2C
+
+
+def update_codebooks_generic(X: Array, B: Array, h: int,
+                             dim2C, rho: float = 1e-4,
+                             chunk: int = 16384) -> Array:
+    """Structured codebook update for arbitrary dimension supports →
+    ``C (m, h, d)`` with zero support outside each codebook's dims.
+
+    Reference ``update_codebooks_generic`` / ``updatecb_struct!``
+    (`src/codebook_update.jl:296-350`) solves, for every dimension i, an
+    LSQR restricted to the codebooks whose support covers i. TPU-first
+    shape of the same math: build the (G, F) normal-equation statistics
+    once on the MXU, then group dimensions by their *support signature*
+    (the exact set of covering codebooks — for a chain there are only
+    m-1 signatures for all d dims) and run ONE batched ridge solve per
+    signature, with that group's dims as the right-hand-side columns.
+    The per-dim iterative solves the reference farms to Distributed
+    workers collapse into a handful of (k·h, k·h) dense solves.
+
+    Args:
+      dim2C: ``(d, m)`` boolean map (dimension i ← codebook j), or a
+        callable ``f(d, m) -> (d, m) bool`` like `get_cbdims_chain`.
+    """
+    import numpy as np
+
+    d, m = X.shape[1], B.shape[1]
+    if callable(dim2C):
+        dim2C = dim2C(d, m)
+    dim2C = np.asarray(dim2C, dtype=bool)
+    if dim2C.shape != (d, m):
+        raise ValueError(f"dim2C shape {dim2C.shape} != (d={d}, m={m})")
+
+    G, F = codebook_stats(X, B, h, chunk=chunk)
+
+    # Group dims sharing a support signature (static structure → plain
+    # Python; the solves below are the only device work).
+    groups: dict[tuple[int, ...], list[int]] = {}
+    for i in range(d):
+        key = tuple(np.nonzero(dim2C[i])[0].tolist())
+        if key:
+            groups.setdefault(key, []).append(i)
+
+    C = jnp.zeros((m, h, d), jnp.float32)
+    for cbs, dims in groups.items():
+        cols = np.concatenate([np.arange(c * h, (c + 1) * h) for c in cbs])
+        A = G[np.ix_(cols, cols)] + rho * jnp.eye(len(cols),
+                                                  dtype=jnp.float32)
+        sol = jnp.linalg.solve(A, F[cols][:, np.asarray(dims)])
+        for j, c in enumerate(cbs):
+            C = C.at[c, :, np.asarray(dims)].set(sol[j * h:(j + 1) * h].T)
+    return C

@@ -67,6 +67,65 @@ def test_chain_solution_has_chain_support(rng):
         assert not np.allclose(C[i][:, active], 0.0)
 
 
+def test_generic_on_chain_supports_matches_chain_solver(rng):
+    """`update_codebooks_generic(get_cbdims_chain)` must reproduce the
+    dedicated chain solver — the reference derives
+    `update_codebooks_chain` from the generic path the same way
+    (`src/codebook_update.jl:353-365`)."""
+    from rayuela_tpu.ops.codebook_update import (get_cbdims_chain,
+                                                 update_codebooks_chain,
+                                                 update_codebooks_generic)
+    d, m, h = 26, 4, 16
+    X, _, B = random_dataset(rng, d=d, n=700, m=m, h=h)
+    Cg = np.asarray(update_codebooks_generic(X, B, h, get_cbdims_chain,
+                                             chunk=256))
+    Cc = np.asarray(update_codebooks_chain(X, B, h=h, chunk=256))
+    np.testing.assert_allclose(Cg, Cc, rtol=2e-2, atol=2e-2)
+
+
+def test_generic_on_full_supports_matches_dense(rng):
+    """All-ones support = the unstructured update."""
+    from rayuela_tpu.ops.codebook_update import update_codebooks_generic
+    d, m, h, rho = 24, 4, 16, 1e-4
+    X, _, B = random_dataset(rng, d=d, n=800, m=m, h=h)
+    C = np.asarray(update_codebooks_generic(
+        X, B, h, np.ones((d, m), bool), chunk=256))
+    Gd, Fd = dense_stats(X, B, h)
+    Cd = np.linalg.solve(Gd + rho * np.eye(m * h, dtype=np.float32), Fd)
+    np.testing.assert_allclose(C.reshape(m * h, d), Cd,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_generic_on_random_supports_matches_per_dim_ridge(rng):
+    """Arbitrary (random) supports: every dimension's slice must equal
+    the dense ridge solve restricted to its covering codebooks —
+    exactly `updatecb_struct!`'s per-dim restricted LS
+    (`src/codebook_update.jl:296-310`)."""
+    from rayuela_tpu.ops.codebook_update import update_codebooks_generic
+    d, m, h, rho = 18, 5, 8, 1e-4
+    X, _, B = random_dataset(rng, d=d, n=900, m=m, h=h)
+    dim2C = rng.random((d, m)) < 0.5
+    dim2C[3] = False                       # an unsupported dim → zeros
+    C = np.asarray(update_codebooks_generic(X, B, h, dim2C, chunk=256))
+    Gd, Fd = dense_stats(X, B, h)
+    for i in range(d):
+        cbs = np.nonzero(dim2C[i])[0]
+        if len(cbs) == 0:
+            assert np.allclose(C[:, :, i], 0.0)
+            continue
+        cols = np.concatenate([np.arange(c * h, (c + 1) * h)
+                               for c in cbs])
+        A = Gd[np.ix_(cols, cols)] + rho * np.eye(len(cols),
+                                                  dtype=np.float32)
+        sol = np.linalg.solve(A, Fd[cols, i])
+        for j, c in enumerate(cbs):
+            np.testing.assert_allclose(C[c, :, i], sol[j * h:(j + 1) * h],
+                                       rtol=2e-2, atol=2e-2)
+        # non-covering codebooks stay zero on this dim
+        for c in np.nonzero(~dim2C[i])[0]:
+            assert np.allclose(C[c, :, i], 0.0)
+
+
 def test_chain_matches_full_solve_on_chain_dims(rng):
     """For dims in range i, the chain solve must equal the dense ridge
     solve restricted to codebooks (i, i+1) — the decoupling the
