@@ -37,23 +37,46 @@ class Dataset(NamedTuple):
     gt: np.ndarray       # (nquery,) int32 — 0-based true-NN ids into Xb
 
 
-# name → (train file, base file, query file, gt file, format)
+# name → file layout. ``nbase`` caps the base-set size where a slice of
+# a bigger file defines the dataset (SIFT10M/100M are the first 10M/100M
+# of the SIFT1B base with their own ground-truth files, reference
+# `src/read_datasets.jl:154-185`).
 _TEXMEX = {
-    "sift1m": ("sift/sift_learn.fvecs", "sift/sift_base.fvecs",
-               "sift/sift_query.fvecs", "sift/sift_groundtruth.ivecs",
-               "fvecs"),
-    "gist1m": ("gist/gist_learn.fvecs", "gist/gist_base.fvecs",
-               "gist/gist_query.fvecs", "gist/gist_groundtruth.ivecs",
-               "fvecs"),
-    "sift1b": ("sift1b/bigann_learn.bvecs", "sift1b/bigann_base.bvecs",
-               "sift1b/bigann_query.bvecs",
-               "sift1b/gnd/idx_1000M.ivecs", "bvecs"),
-    "deep1b": ("deep1b/learn.fvecs", "deep1b/base.fvecs",
-               "deep1b/query.fvecs", "deep1b/groundtruth.ivecs",
-               "fvecs"),
+    "sift1m": dict(train="sift/sift_learn.fvecs",
+                   base="sift/sift_base.fvecs",
+                   query="sift/sift_query.fvecs",
+                   gt="sift/sift_groundtruth.ivecs", fmt="fvecs"),
+    "gist1m": dict(train="gist/gist_learn.fvecs",
+                   base="gist/gist_base.fvecs",
+                   query="gist/gist_query.fvecs",
+                   gt="gist/gist_groundtruth.ivecs", fmt="fvecs"),
+    # `src/read_datasets.jl:10-33`: the Babenko deep1M fvecs release
+    "deep1m-babenko": dict(train="deep_babenko/deep1M_learn.fvecs",
+                           base="deep_babenko/deep1M_base.fvecs",
+                           query="deep_babenko/deep1M_queries.fvecs",
+                           gt="deep_babenko/deep1M_groundtruth.ivecs",
+                           fmt="fvecs"),
+    "sift1b": dict(train="sift1b/bigann_learn.bvecs",
+                   base="sift1b/bigann_base.bvecs",
+                   query="sift1b/bigann_query.bvecs",
+                   gt="sift1b/gnd/idx_1000M.ivecs", fmt="bvecs"),
+    "sift10m": dict(train="sift1b/bigann_learn.bvecs",
+                    base="sift1b/bigann_base.bvecs",
+                    query="sift1b/bigann_query.bvecs",
+                    gt="sift1b/gnd/idx_10M.ivecs", fmt="bvecs",
+                    nbase=10_000_000),
+    "sift100m": dict(train="sift1b/bigann_learn.bvecs",
+                     base="sift1b/bigann_base.bvecs",
+                     query="sift1b/bigann_query.bvecs",
+                     gt="sift1b/gnd/idx_100M.ivecs", fmt="bvecs",
+                     nbase=100_000_000),
+    "deep1b": dict(train="deep1b/learn.fvecs", base="deep1b/base.fvecs",
+                   query="deep1b/query.fvecs",
+                   gt="deep1b/groundtruth.ivecs", fmt="fvecs"),
 }
 
-# HDF5-packaged sets (reference keeps these as .h5 with X/Q/gt keys)
+# HDF5-packaged sets (reference keeps these as .h5/.mat,
+# `src/read_datasets.jl:86-125,187-224`)
 _HDF5 = {
     "mnist": "mnist/mnist.h5",
     "labelme22k": "labelme/labelme.h5",
@@ -61,29 +84,81 @@ _HDF5 = {
     "deep1m": "deep/deep1m.h5",
 }
 
+# Accepted key spellings per role, tried in order. Covers the
+# reference's own files ("train"/"test"/"gt", `read_datasets.jl:
+# 187-224`), its Convnet .mat keys, and ann-benchmarks-style files
+# ("train"/"test"/"neighbors"). A missing base key falls back to the
+# train set (the reference's MNIST/LabelMe are query/base protocols
+# where base == train, `read_datasets.jl:195,215`).
+_H5_KEYS = {
+    "train": ("train", "learn", "Xt", "feats_m_128_train"),
+    "base": ("base", "dataset", "Xb", "feats_m_128_base",
+             "train", "learn", "feats_m_128_train"),
+    "query": ("query", "test", "queries", "Xq", "feats_m_128_test"),
+    "gt": ("groundtruth", "gt", "neighbors", "idx"),
+}
+
 
 def _load_texmex(name: str, ntrain: int, nbase: int, nquery: int
                  ) -> Dataset:
-    tf, bf, qf, gf, fmt = _TEXMEX[name]
+    e = _TEXMEX[name]
     root = data_root()
-    rd = fvecs_read if fmt == "fvecs" else bvecs_read
-    Xt = rd(os.path.join(root, tf), 0, ntrain).astype(np.float32)
-    Xb = rd(os.path.join(root, bf), 0, nbase).astype(np.float32)
-    Xq = rd(os.path.join(root, qf), 0, nquery).astype(np.float32)
-    gt = ivecs_read(os.path.join(root, gf), 0, nquery)[:, 0]
+    rd = fvecs_read if e["fmt"] == "fvecs" else bvecs_read
+    Xt = rd(os.path.join(root, e["train"]), 0, ntrain).astype(np.float32)
+    Xb = rd(os.path.join(root, e["base"]), 0, nbase).astype(np.float32)
+    Xq = rd(os.path.join(root, e["query"]), 0, nquery).astype(np.float32)
+    gt = ivecs_read(os.path.join(root, e["gt"]), 0, nquery)[:, 0]
     return Dataset(name, Xt, Xb, Xq, gt.astype(np.int32))
 
 
-def _load_hdf5(name: str, ntrain: int, nbase: int, nquery: int
-               ) -> Dataset:
+def _h5_pick(f, role: str):
+    for k in _H5_KEYS[role]:
+        if k in f:
+            return np.asarray(f[k])
+    return None
+
+
+def _load_hdf5(name: str, ntrain: int, nbase: int, nquery: int,
+               path: str | None = None) -> Dataset:
+    """Tolerant HDF5 ingestion: accepts the key spellings in
+    ``_H5_KEYS``, either (n, d) or Julia-written (d, n) layouts, gt as
+    a vector or a (nq, knn) id matrix, and 1-based (Julia) gt ids
+    (detected by an id == nbase, out of range for 0-based)."""
     import h5py
-    path = os.path.join(data_root(), _HDF5[name])
+    if path is None:
+        path = os.path.join(data_root(), _HDF5[name])
     with h5py.File(path, "r") as f:
-        Xt = np.asarray(f["train"][:ntrain], np.float32)
-        Xb = np.asarray(f["base"][:nbase], np.float32)
-        Xq = np.asarray(f["query"][:nquery], np.float32)
-        gt = np.asarray(f["groundtruth"][:nquery], np.int32).reshape(-1)
-    return Dataset(name, Xt, Xb, Xq, gt)
+        Xt, Xb, Xq = (_h5_pick(f, r) for r in ("train", "base", "query"))
+        gt = _h5_pick(f, "gt")
+    for role, arr in (("train", Xt), ("base", Xb), ("query", Xq),
+                      ("gt", gt)):
+        if arr is None:
+            raise KeyError(
+                f"{path}: no {role} key (tried {_H5_KEYS[role]})")
+
+    # Julia's h5write stores a (d, n) matrix so h5py sees (n, d) — but
+    # files written row-major as (d, n) appear with the shared feature
+    # axis FIRST on every array. Detect and transpose.
+    if (Xt.shape[0] == Xb.shape[0] == Xq.shape[0]
+            and not (Xt.shape[1] == Xb.shape[1] == Xq.shape[1])):
+        Xt, Xb, Xq = Xt.T, Xb.T, Xq.T
+    Xt = np.asarray(Xt[:ntrain], np.float32)
+    Xb = np.asarray(Xb[:nbase], np.float32)
+    Xq = np.asarray(Xq[:nquery], np.float32)
+
+    gt = np.asarray(gt)
+    if gt.ndim == 2:
+        # (nq, knn) id matrix (or its transpose): keep the true-NN col
+        if gt.shape[0] != Xq.shape[0] and gt.shape[1] == Xq.shape[0]:
+            gt = gt.T
+        gt = gt[:, 0]
+    gt = gt[:nquery].astype(np.int64)
+    if gt.max(initial=0) >= Xb.shape[0]:    # 1-based (Julia) ids
+        gt = gt - 1
+    if gt.min(initial=0) < 0 or gt.max(initial=0) >= Xb.shape[0]:
+        raise ValueError(f"{path}: ground-truth ids out of range "
+                         f"[0, {Xb.shape[0]}) after normalization")
+    return Dataset(name, Xt, Xb, Xq, gt.astype(np.int32))
 
 
 def make_synthetic(d: int = 128, ntrain: int = 10_000,
@@ -116,23 +191,29 @@ def make_synthetic(d: int = 128, ntrain: int = 10_000,
     return Dataset(name, Xt, Xb, Xq, gt.astype(np.int32))
 
 
-def read_dataset(name: str, ntrain: int = 100_000, nbase: int = 1_000_000,
-                 nquery: int = 10_000, **synth_kw) -> Dataset:
+def read_dataset(name: str, ntrain: int = 100_000,
+                 nbase: int | None = None, nquery: int = 10_000,
+                 **synth_kw) -> Dataset:
     """Load a catalog dataset (reference `src/read_datasets.jl:4-244`).
 
     ``synthetic`` / ``synthetic-small`` need no files; TEXMEX/HDF5 names
-    read from ``$RAYUELA_DATA``."""
+    read from ``$RAYUELA_DATA``. ``nbase=None`` takes the dataset's
+    defining size where one exists (SIFT10M → 10M base vectors from the
+    SIFT1B file; its ground truth is only valid at that size) and 1M
+    otherwise."""
     name = name.lower()
     if name.startswith("synthetic"):
         if name == "synthetic-small":
             synth_kw.setdefault("d", 32)
             return make_synthetic(ntrain=2_000, nbase=20_000, nquery=200,
                                   name=name, **synth_kw)
-        return make_synthetic(ntrain=ntrain, nbase=nbase, nquery=nquery,
-                              name=name, **synth_kw)
+        return make_synthetic(ntrain=ntrain, nbase=nbase or 1_000_000,
+                              nquery=nquery, name=name, **synth_kw)
     if name in _TEXMEX:
+        if nbase is None:
+            nbase = _TEXMEX[name].get("nbase", 1_000_000)
         return _load_texmex(name, ntrain, nbase, nquery)
     if name in _HDF5:
-        return _load_hdf5(name, ntrain, nbase, nquery)
+        return _load_hdf5(name, ntrain, nbase or 1_000_000, nquery)
     raise ValueError(f"unknown dataset {name!r}; known: "
                      f"{sorted(_TEXMEX) + sorted(_HDF5)} + synthetic*")

@@ -1,0 +1,91 @@
+"""Dataset catalog tests: HDF5 ingestion against real fixture files in
+the layouts found in the wild (reference's own Julia-written files,
+`src/read_datasets.jl:187-224`; ann-benchmarks exports), plus catalog
+naming."""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from rayuela_tpu.experiments.datasets import (_TEXMEX, _load_hdf5,
+                                              read_dataset)
+
+
+def _mk(tmp_path, arrays):
+    path = str(tmp_path / "fixture.h5")
+    with h5py.File(path, "w") as f:
+        for k, v in arrays.items():
+            f[k] = v
+    return path
+
+
+def test_hdf5_row_major_standard_keys(tmp_path, rng):
+    Xt = rng.standard_normal((50, 8)).astype(np.float32)
+    Xb = rng.standard_normal((70, 8)).astype(np.float32)
+    Xq = rng.standard_normal((9, 8)).astype(np.float32)
+    gt = rng.integers(0, 70, 9)
+    p = _mk(tmp_path, {"train": Xt, "base": Xb, "query": Xq,
+                       "groundtruth": gt})
+    ds = _load_hdf5("fix", 50, 70, 9, path=p)
+    np.testing.assert_array_equal(ds.Xb, Xb)
+    np.testing.assert_array_equal(ds.gt, gt.astype(np.int32))
+
+
+def test_hdf5_julia_layout_base_is_train_one_based_gt(tmp_path, rng):
+    """The reference's MNIST/LabelMe shape: keys train/test/gt, feature
+    axis first ((d, n) on disk), no base key (base == train), 1-based
+    ids (`read_datasets.jl:187-224`)."""
+    d, nt, nq = 8, 60, 7
+    Xt = rng.standard_normal((d, nt)).astype(np.float32)
+    Xq = rng.standard_normal((d, nq)).astype(np.float32)
+    gt = np.concatenate([[nt], rng.integers(1, nt + 1, nq - 1)])  # 1-based
+    p = _mk(tmp_path, {"train": Xt, "test": Xq, "gt": gt})
+    ds = _load_hdf5("fix", nt, nt, nq, path=p)
+    assert ds.Xt.shape == (nt, d) and ds.Xq.shape == (nq, d)
+    np.testing.assert_array_equal(ds.Xb, ds.Xt)          # base == train
+    np.testing.assert_array_equal(ds.gt, gt - 1)         # re-based
+    assert ds.gt.max() == nt - 1
+
+
+def test_hdf5_ann_benchmarks_layout(tmp_path, rng):
+    """train/test/neighbors keys, (nq, knn) neighbor matrix, 0-based."""
+    Xt = rng.standard_normal((40, 6)).astype(np.float32)
+    Xq = rng.standard_normal((5, 6)).astype(np.float32)
+    nb = rng.integers(0, 40, (5, 10))
+    p = _mk(tmp_path, {"train": Xt, "test": Xq, "neighbors": nb})
+    ds = _load_hdf5("fix", 40, 40, 5, path=p)
+    np.testing.assert_array_equal(ds.gt, nb[:, 0].astype(np.int32))
+
+
+def test_hdf5_missing_key_raises(tmp_path, rng):
+    p = _mk(tmp_path, {"train": rng.standard_normal((4, 3))})
+    with pytest.raises(KeyError, match="query"):
+        _load_hdf5("fix", 4, 4, 2, path=p)
+
+
+def test_hdf5_out_of_range_gt_raises(tmp_path, rng):
+    Xt = rng.standard_normal((10, 4)).astype(np.float32)
+    p = _mk(tmp_path, {"train": Xt, "base": Xt, "query": Xt[:2],
+                       "gt": np.array([3, 25])})
+    with pytest.raises(ValueError, match="out of range"):
+        _load_hdf5("fix", 10, 10, 2, path=p)
+
+
+def test_catalog_has_reference_names():
+    """Every named dataset in `src/read_datasets.jl` has a catalog
+    entry (SIFT10M/100M slice the SIFT1B files with their own gt,
+    `:154-185`; Deep1M_babenko `:10-33`)."""
+    for name in ("sift1m", "gist1m", "sift1b", "sift10m", "sift100m",
+                 "deep1b", "deep1m-babenko"):
+        assert name in _TEXMEX, name
+    assert _TEXMEX["sift10m"]["gt"].endswith("idx_10M.ivecs")
+    assert _TEXMEX["sift100m"]["gt"].endswith("idx_100M.ivecs")
+    assert _TEXMEX["sift10m"]["nbase"] == 10_000_000
+    assert _TEXMEX["sift100m"]["nbase"] == 100_000_000
+
+
+def test_synthetic_unaffected_by_none_nbase():
+    ds = read_dataset("synthetic", ntrain=100, nbase=500, nquery=10,
+                      d=16)
+    assert ds.Xb.shape == (500, 16)
