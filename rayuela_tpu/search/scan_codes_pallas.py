@@ -1,0 +1,397 @@
+"""Code-resident Pallas ADC scan — search uint8 codes, never a decoded base.
+
+This is the memory model that makes MCQ useful in deployment: the index
+on chip is the **packed codes** (m bytes/vector + optional norms byte),
+exactly like the reference's LUT scan over code arrays
+(`deps/src/linscan_aqd.cpp:37-102`,
+`deps/src/linscan_aqd_pairwise_byte.cpp:14-94`). A SIFT1M-class base at
+m=8 is ~9 MB resident instead of the 512 MB f32 decode the fast
+`scan_pallas` path keeps; a 3e7-vector base (15 GB decoded — does not
+fit HBM) stays a ~270 MB code array.
+
+Same math as the reference, reshaped for the MXU:
+
+* The reference gather-accumulates ``sum_j LUT_j[code_j]`` one byte at a
+  time per (query, vector). Here each kernel visit computes the whole
+  (tile, Bq) score block as ``m`` one-hot matmuls: per codebook j,
+  ``onehot(code_j) (tile, h) @ T_j (h, Bq)`` — identical sums, matrix
+  throughput. Codes are unpacked from int32 words with VPU shifts.
+* LUTs fold exactly what the reference folds: PQ/OPQ fold per-subspace
+  ``|c|^2 - 2 c.q_sub`` (true distances up to +|q|^2); additive models
+  fold ``-2 c.q`` plus a quantized-norms table indexed by the extra
+  norms byte (reference `src/Linscan.jl:118-157` semantics).
+* Selection reuses the per-lane bitonic running top-R + verification
+  count of `scan_pallas` (scratch persists across the sequential tile
+  grid), so the result is **exact for the LUT scores, always**: flagged
+  queries re-run through an XLA gather scan over the same LUTs.
+
+Tables default to bfloat16 on TPU (halves the dominant matmul cost and
+the table DMA); the f32 accumulation and the verify kernel both consume
+the same rounded tables, so exactness is preserved *for the bf16-table
+scores* — use ``lut_dtype=jnp.float32`` to match the XLA scan bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rayuela_tpu.search.scan_pallas import (LANES, _apply_network,
+                                            _merge_stages, _sort_stages)
+from rayuela_tpu.utils import cdiv, splitarray
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Host-side index build: packed codes + per-query LUTs
+# ---------------------------------------------------------------------------
+
+def pack_codes(B: Array, norms_codes: Array | None = None) -> Array:
+    """Pack per-vector codes into int32 words, 4 codes per word
+    (little-endian bytes) → ``(n, ceil(m'/4)) int32`` where m' counts
+    the optional norms byte. Requires all codes < 256 (h <= 256, the
+    reference's uint8 storage, `deps/src/types.h`)."""
+    B = jnp.asarray(B)
+    if norms_codes is not None:
+        B = jnp.concatenate(
+            [B, jnp.asarray(norms_codes).reshape(-1, 1).astype(B.dtype)],
+            axis=1)
+    n, mprime = B.shape
+    nw = cdiv(mprime, 4)
+    Bp = jnp.pad(B.astype(jnp.uint32), ((0, 0), (0, nw * 4 - mprime)))
+    w = Bp.reshape(n, nw, 4)
+    packed = (w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
+              | (w[..., 3] << 24))
+    return lax.bitcast_convert_type(packed, jnp.int32)
+
+
+def unpack_codes(packed: Array, mprime: int) -> Array:
+    """Inverse of `pack_codes` → ``(n, m') int32``."""
+    u = lax.bitcast_convert_type(packed, jnp.uint32)
+    cols = [(u[:, j // 4] >> (8 * (j % 4))) & 0xFF
+            for j in range(mprime)]
+    return jnp.stack(cols, axis=1).astype(jnp.int32)
+
+
+def build_luts(C: Array, Q: Array, *, pq: bool = False,
+               d: int | None = None,
+               norms_cbook: Array | None = None) -> Array:
+    """Per-query LUT stack ``T (m', h, nq) f32``.
+
+    PQ/OPQ (``pq=True``): ``T[j,c,q] = |C_j[c]|^2 - 2 C_j[c].Q[q,sub_j]``
+    (reference `src/Linscan.jl:5-26` table build). Additive
+    (``pq=False``): ``T[j,c,q] = -2 C_j[c].Q[q]``; pass ``norms_cbook``
+    (h',) to append the quantized-norms table the extra byte indexes
+    (`src/Linscan.jl:118-157`). Either way scores exclude the +|q|^2
+    constant (the front-end adds it)."""
+    m, h, ds = C.shape
+    nq = Q.shape[0]
+    if pq:
+        d = Q.shape[1] if d is None else d
+        tabs = []
+        for j, (st, sz) in enumerate(splitarray(d, m)):
+            Qs = Q[:, st:st + sz]
+            if sz < ds:
+                Qs = jnp.pad(Qs, ((0, 0), (0, ds - sz)))
+            c2 = jnp.sum(C[j] * C[j], axis=-1, keepdims=True)   # (h, 1)
+            tabs.append(c2 - 2.0 * jnp.matmul(
+                C[j], Qs.T, preferred_element_type=jnp.float32))
+        T = jnp.stack(tabs)                                     # (m, h, nq)
+    else:
+        T = -2.0 * jnp.einsum("mhd,qd->mhq", C, Q,
+                              preferred_element_type=jnp.float32)
+    if norms_cbook is not None:
+        nt = jnp.broadcast_to(
+            jnp.pad(norms_cbook.reshape(-1),
+                    (0, h - norms_cbook.size))[:, None], (h, nq))
+        T = jnp.concatenate([T, nt[None]], axis=0)
+    return T
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _lut_scores(t_ref, codes_ref, *, mprime: int, h: int,
+                lut_dtype) -> Array:
+    """(tile, Bq) score block: per-codebook one-hot (tile, h) x T_j
+    (h, Bq) matmuls, codes unpacked from int32 words by VPU shifts."""
+    tile = codes_ref.shape[0]
+    bq = t_ref.shape[1]
+    iota_h = lax.broadcasted_iota(jnp.int32, (tile, h), 1)
+    acc = jnp.zeros((tile, bq), jnp.float32)
+    # bf16 operands: the one-hot is exact in bf16 and each product IS
+    # the (bf16) table value, f32-accumulated — exact for bf16 tables.
+    # f32 operands: the TPU MXU's default precision decomposes f32 into
+    # ONE bf16 pass (~1e-3 relative error); force HIGHEST so the f32
+    # path is an exact gather (it is the test/debug mode).
+    prec = (lax.Precision.HIGHEST if lut_dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+    for j in range(mprime):
+        w, sh = divmod(j, 4)
+        word = codes_ref[:, w:w + 1]                      # (tile, 1) i32
+        c = lax.shift_right_logical(word, 8 * sh) & 0xFF
+        oh = (iota_h == c).astype(lut_dtype)              # (tile, h)
+        acc = acc + lax.dot_general(
+            oh, t_ref[j * h:(j + 1) * h, :].astype(lut_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+    return acc
+
+
+def _codes_scan_kernel(t_ref, codes_ref, outv_ref, outi_ref,
+                       bufv, bufi, sem, *, rows: int, r: int,
+                       ntiles: int, bq: int, mprime: int, h: int,
+                       n: int, lut_dtype):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        bufv[:] = jnp.full(bufv.shape, jnp.inf, jnp.float32)
+        bufi[:] = jnp.zeros(bufi.shape, jnp.int32)
+
+    s = _lut_scores(t_ref, codes_ref, mprime=mprime, h=h,
+                    lut_dtype=lut_dtype)
+    tile = rows * LANES
+    gid2 = (t * tile
+            + lax.broadcasted_iota(jnp.int32, (tile, bq), 0))
+    s = jnp.where(gid2 < n, s, jnp.inf)                   # mask pad rows
+    sv = s.reshape(rows, LANES, bq)
+    gid = (t * tile
+           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 0) * LANES
+           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 1))
+
+    sv, si = _apply_network(sv, gid, _sort_stages(rows), descending=True)
+    mv = jnp.concatenate([bufv[:], sv], axis=0)
+    mi = jnp.concatenate([bufi[:], si], axis=0)
+    mv, mi = _apply_network(mv, mi, _merge_stages(r + rows))
+    bufv[:] = mv[:r]
+    bufi[:] = mi[:r]
+
+    qb = pl.program_id(0)
+
+    @pl.when(t == ntiles - 1)
+    def _():
+        cpv = pltpu.make_async_copy(
+            bufv, outv_ref.at[:, :, pl.ds(qb * bq, bq)], sem.at[0])
+        cpi = pltpu.make_async_copy(
+            bufi, outi_ref.at[:, :, pl.ds(qb * bq, bq)], sem.at[1])
+        cpv.start()
+        cpi.start()
+        cpv.wait()
+        cpi.wait()
+
+
+def _codes_verify_kernel(t_ref, codes_ref, tau_ref, cnt_ref, acc,
+                         *, rows: int, ntiles: int, mprime: int,
+                         h: int, n: int, lut_dtype):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc[:] = jnp.zeros(acc.shape, jnp.int32)
+
+    s = _lut_scores(t_ref, codes_ref, mprime=mprime, h=h,
+                    lut_dtype=lut_dtype)
+    tile = rows * LANES
+    bq = s.shape[1]
+    gid2 = t * tile + lax.broadcasted_iota(jnp.int32, (tile, bq), 0)
+    s = jnp.where(gid2 < n, s, jnp.inf)
+    sv = s.reshape(rows, LANES, bq)
+    hit = (sv < tau_ref[:][None, :, :]).astype(jnp.int32)
+    acc[:] = acc[:] + jnp.sum(hit, axis=0)
+
+    @pl.when(t == ntiles - 1)
+    def _():
+        cnt_ref[:] = acc[:]
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
+                              "interpret", "lut_dtype"))
+def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
+                           r: int = 48, bq: int = 128, tile: int = 2048,
+                           verify: bool = True, interpret: bool = False,
+                           lut_dtype=jnp.bfloat16
+                           ) -> tuple[Array, Array, Array]:
+    """Exact-unless-flagged top-k over packed codes.
+
+    Args:
+      T: (m', h, nq) LUT stack from `build_luts`.
+      packed: (n, nw) int32 packed codes from `pack_codes`.
+      lut_dtype: matmul operand dtype inside the kernel (tables and
+        one-hots). f32 accumulation either way; verify uses the same.
+
+    Returns ``(scores (nq, k), ids (nq, k), flagged (nq,) bool)`` —
+    scores exclude the +|q|^2 constant (front-ends add it)."""
+    mprime, h, nq = T.shape
+    n, nw = packed.shape
+    if nw != cdiv(mprime, 4):
+        raise ValueError(f"packed width {nw} != ceil(m'={mprime}/4)")
+    if k > r * LANES:
+        raise ValueError(f"k={k} > r*128={r * LANES}")
+    rows = tile // LANES
+    if rows & (rows - 1):
+        raise ValueError(f"tile/128={rows} must be a power of two")
+    if (r + rows) & (r + rows - 1):
+        raise ValueError(f"r+tile/128={r + rows} must be a power of two")
+
+    npad = cdiv(n, tile) * tile
+    nqp = cdiv(nq, bq) * bq
+    ntiles, nqb = npad // tile, nqp // bq
+
+    Tf = T.reshape(mprime * h, nq)
+    Tf = jnp.pad(Tf, ((0, 0), (0, nqp - nq)))
+    Pp = jnp.pad(packed, ((0, npad - n), (0, 0)))
+
+    kern = functools.partial(_codes_scan_kernel, rows=rows, r=r,
+                             ntiles=ntiles, bq=bq, mprime=mprime, h=h,
+                             n=n, lut_dtype=lut_dtype)
+    outv, outi = pl.pallas_call(
+        kern,
+        grid=(nqb, ntiles),
+        in_specs=[
+            pl.BlockSpec((mprime * h, bq), lambda qb, t: (0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, nw), lambda qb, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, LANES, nqp), jnp.float32),
+            jax.ShapeDtypeStruct((r, LANES, nqp), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((r, LANES, bq), jnp.float32),
+            pltpu.VMEM((r, LANES, bq), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(Tf, Pp)
+
+    cand_v = outv[:, :, :nq].reshape(r * LANES, nq).T
+    cand_i = outi[:, :, :nq].reshape(r * LANES, nq).T
+    kk = min(k, n)
+    neg, loc = lax.top_k(-cand_v, kk)
+    scores = -neg
+    ids = jnp.take_along_axis(cand_i, loc, axis=1)
+
+    if not verify:
+        return scores, ids, jnp.zeros((nq,), bool)
+
+    tau = jnp.full((nqp,), -jnp.inf, jnp.float32)
+    tau = tau.at[:nq].set(scores[:, kk - 1])
+    tau = jnp.broadcast_to(tau[None, :], (LANES, nqp))
+    vkern = functools.partial(_codes_verify_kernel, rows=rows,
+                              ntiles=ntiles, mprime=mprime, h=h, n=n,
+                              lut_dtype=lut_dtype)
+    cnt = pl.pallas_call(
+        vkern,
+        grid=(nqb, ntiles),
+        in_specs=[
+            pl.BlockSpec((mprime * h, bq), lambda qb, t: (0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, nw), lambda qb, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, bq), lambda qb, t: (0, qb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((LANES, bq), lambda qb, t: (0, qb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((LANES, nqp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((LANES, bq), jnp.int32)],
+        interpret=interpret,
+    )(Tf, Pp, tau)
+    flagged = jnp.any(cnt[:, :nq] > r, axis=0)
+    return scores, ids, flagged
+
+
+def xla_lut_scan(T: Array, B: Array, k: int,
+                 lut_dtype=jnp.float32) -> tuple[Array, Array]:
+    """Gather-based LUT scan in XLA — the exact-fallback / reference
+    implementation of the same scores (`deps/src/linscan_aqd.cpp:37-102`
+    accumulate, vectorized). Used for flagged queries and as the
+    equivalence oracle in tests."""
+    mprime, h, nq = T.shape
+    n = B.shape[0]
+    Tc = T.astype(lut_dtype).astype(jnp.float32)
+    flat = jnp.transpose(Tc, (2, 0, 1)).reshape(nq, mprime * h)
+    idx = (B + jnp.arange(mprime, dtype=B.dtype)[None, :] * h)  # (n, m')
+    s = jnp.sum(flat[:, idx], axis=2)                           # (nq, n)
+    neg, ids = lax.top_k(-s, min(k, n))
+    return -neg, ids.astype(jnp.int32)
+
+
+class CodesIndex:
+    """Scan-ready packed-code index: ~m bytes/vector resident.
+
+    Build once (`build_codes_index`), search many times; each search
+    builds the per-query LUT stack in XLA and runs the fused kernel."""
+
+    def __init__(self, packed: Array, mprime: int, C: Array, *,
+                 pq: bool, d: int, norms_cbook: Array | None):
+        self.packed, self.mprime, self.C = packed, mprime, C
+        self.pq, self.d, self.norms_cbook = pq, d, norms_cbook
+        self.n = packed.shape[0]
+
+
+def build_codes_index(C: Array, B: Array, *, pq: bool = False,
+                      d: int | None = None,
+                      norms_cbook: Array | None = None,
+                      norms_codes: Array | None = None) -> CodesIndex:
+    if (norms_cbook is None) != (norms_codes is None):
+        raise ValueError("norms_cbook and norms_codes go together")
+    if not pq and norms_cbook is None:
+        raise ValueError(
+            "additive codebooks need a quantized-norms byte for the "
+            "code-resident scan (reference src/Linscan.jl:118-157); "
+            "train one via rayuela_tpu.search.norms or use the decoded "
+            "scan_pallas path")
+    B = jnp.asarray(B, jnp.int32)
+    packed = pack_codes(B, norms_codes)
+    mprime = B.shape[1] + (0 if norms_codes is None else 1)
+    return CodesIndex(packed, mprime, jnp.asarray(C), pq=pq,
+                      d=d if d is not None else -1,
+                      norms_cbook=norms_cbook)
+
+
+def search_codes(index: CodesIndex, Q: Array, k: int, *,
+                 r: int | None = None, bq: int = 128, tile: int = 2048,
+                 interpret: bool = False, lut_dtype=jnp.bfloat16
+                 ) -> tuple[Array, Array]:
+    """Exact top-k (for the LUT scores) over a packed-code index:
+    fused kernel + XLA LUT re-scan for flagged queries. Returns true
+    squared distances for PQ/additive-with-norms conventions (adds the
+    +|q|^2 constant, like `scan_pallas.search`)."""
+    if r is None:
+        r = 16 if k <= 512 else 48
+    d = Q.shape[1] if index.d in (-1, None) else index.d
+    T = build_luts(index.C, Q, pq=index.pq, d=d,
+                   norms_cbook=index.norms_cbook)
+    scores, ids, flagged = pallas_scan_codes_topk(
+        T, index.packed, k=k, r=r, bq=bq, tile=tile, verify=True,
+        interpret=interpret, lut_dtype=lut_dtype)
+    flagged = np.asarray(flagged)
+    if flagged.any():
+        qidx = np.nonzero(flagged)[0]
+        s2, i2 = xla_lut_scan(T[:, :, qidx],
+                              unpack_codes(index.packed, index.mprime),
+                              min(k, index.n), lut_dtype=lut_dtype)
+        scores = scores.at[qidx].set(s2)
+        ids = ids.at[qidx].set(i2)
+    q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
+    return scores + q2, ids

@@ -1,0 +1,186 @@
+"""Code-resident Pallas scan — equivalence with the XLA LUT oracle and
+the decoded scan path, in interpret mode on CPU (SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import random_dataset
+
+
+def test_pack_unpack_roundtrip(rng):
+    from rayuela_tpu.search.scan_codes_pallas import (pack_codes,
+                                                      unpack_codes)
+    for m in (3, 4, 7, 9, 16, 17):
+        B = rng.integers(0, 256, (37, m)).astype(np.int32)
+        P = pack_codes(jnp.asarray(B))
+        assert P.shape == (37, -(-m // 4))
+        np.testing.assert_array_equal(np.asarray(unpack_codes(P, m)), B)
+    # norms byte appends as column m
+    B = rng.integers(0, 256, (20, 4)).astype(np.int32)
+    nc = rng.integers(0, 256, 20).astype(np.int32)
+    P = pack_codes(jnp.asarray(B), jnp.asarray(nc))
+    U = np.asarray(unpack_codes(P, 5))
+    np.testing.assert_array_equal(U[:, :4], B)
+    np.testing.assert_array_equal(U[:, 4], nc)
+
+
+def _lut_brute(T, B):
+    """Float64 LUT accumulate — the reference algorithm verbatim
+    (`deps/src/linscan_aqd.cpp:37-102`)."""
+    T = np.asarray(T, np.float64)
+    mprime, h, nq = T.shape
+    n = B.shape[0]
+    s = np.zeros((nq, n))
+    for j in range(mprime):
+        s += T[j, B[:, j], :].T
+    return s
+
+
+def test_luts_pq_scores_are_true_distances(rng):
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    from rayuela_tpu.search.scan_codes_pallas import build_luts
+    d, m, h, n, nq = 28, 4, 16, 300, 7   # uneven split: 28/4=7 per sub
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    T = build_luts(jnp.asarray(C), jnp.asarray(Q), pq=True, d=d)
+    s = _lut_brute(T, B) + (Q ** 2).sum(-1, keepdims=True)
+    Xd = np.asarray(reconstruct_pq(C, B, d))
+    ref = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(s, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_luts_additive_with_norms_match_linscan_lsq_convention(rng):
+    from rayuela_tpu.search.scan_codes_pallas import build_luts
+    d, m, h, n, nq = 16, 3, 16, 200, 5
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h)
+    norms_cbook = (rng.random(8).astype(np.float32) * 10)
+    norms_codes = rng.integers(0, 8, n).astype(np.int32)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    T = build_luts(jnp.asarray(C), jnp.asarray(Q),
+                   norms_cbook=jnp.asarray(norms_cbook))
+    assert T.shape == (m + 1, h, nq)
+    Bfull = np.concatenate([B, norms_codes[:, None]], axis=1)
+    s = _lut_brute(T, Bfull)
+    from rayuela_tpu.ops.qerror import reconstruct
+    Xd = np.asarray(reconstruct(C, B))
+    ref = -2.0 * Q @ Xd.T + norms_cbook[norms_codes][None, :]
+    np.testing.assert_allclose(s, ref, rtol=1e-4, atol=1e-3)
+
+
+def _run_kernel(T, packed, **kw):
+    from rayuela_tpu.search.scan_codes_pallas import pallas_scan_codes_topk
+    return pallas_scan_codes_topk(T, packed, interpret=True, **kw)
+
+
+def test_kernel_matches_xla_lut_scan(rng):
+    from rayuela_tpu.search.scan_codes_pallas import (build_luts,
+                                                      pack_codes,
+                                                      xla_lut_scan)
+    d, m, h, n, nq, k = 32, 4, 16, 5000, 12, 50
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    T = build_luts(jnp.asarray(C), jnp.asarray(Q), pq=True, d=d)
+    packed = pack_codes(jnp.asarray(B))
+    sc, ids, flagged = _run_kernel(T, packed, k=k, r=48, bq=8,
+                                   tile=2048, lut_dtype=jnp.float32)
+    assert not np.asarray(flagged).any()
+    ref_s, ref_i = xla_lut_scan(T, jnp.asarray(B), k)
+    # values must match exactly-ranked; ids up to ties in decode space
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_s),
+                               rtol=1e-4, atol=1e-3)
+    s64 = _lut_brute(T, B)
+    picked = np.take_along_axis(s64, np.asarray(ids), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(sc),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_kernel_bf16_tables_consistent(rng):
+    """bf16 tables: kernel and XLA oracle see the same rounded tables,
+    so results agree with each other (not with f32)."""
+    from rayuela_tpu.search.scan_codes_pallas import (build_luts,
+                                                      pack_codes,
+                                                      xla_lut_scan)
+    d, m, h, n, nq, k = 16, 4, 16, 3000, 6, 20
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    T = build_luts(jnp.asarray(C), jnp.asarray(Q), pq=True, d=d)
+    packed = pack_codes(jnp.asarray(B))
+    sc, ids, flagged = _run_kernel(T, packed, k=k, r=24, bq=8,
+                                   tile=1024, lut_dtype=jnp.bfloat16)
+    assert not np.asarray(flagged).any()
+    ref_s, _ = xla_lut_scan(T, jnp.asarray(B), k,
+                            lut_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ragged_sizes(rng):
+    """n not a multiple of tile, nq not a multiple of bq, m' odd."""
+    from rayuela_tpu.search.scan_codes_pallas import (build_luts,
+                                                      pack_codes,
+                                                      xla_lut_scan)
+    d, m, h, n, nq, k = 20, 5, 16, 3210, 11, 33
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    T = build_luts(jnp.asarray(C), jnp.asarray(Q), pq=True, d=d)
+    packed = pack_codes(jnp.asarray(B))
+    sc, ids, flagged = _run_kernel(T, packed, k=k, r=24, bq=8,
+                                   tile=1024, lut_dtype=jnp.float32)
+    assert not np.asarray(flagged).any()
+    assert (np.asarray(ids) < n).all() and (np.asarray(ids) >= 0).all()
+    ref_s, _ = xla_lut_scan(T, jnp.asarray(B), k)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_s),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_search_codes_end_to_end_matches_decoded_search(rng):
+    """Full front-end: PQ codes index == decoded-index search (true
+    distances, identical ranking up to decode ties)."""
+    from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
+                                                      search_codes)
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    d, m, h, n, nq, k = 32, 4, 16, 4000, 9, 25
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True, d=d)
+    dv, di = search_codes(idx, Q, k, interpret=True,
+                          lut_dtype=jnp.float32)
+    Xd = np.asarray(reconstruct_pq(C, B, d))
+    D = ((np.asarray(Q)[:, None, :] - Xd[None]) ** 2).sum(-1)
+    ref_d = np.sort(D, 1)[:, :k]
+    np.testing.assert_allclose(np.asarray(dv), ref_d,
+                               rtol=1e-4, atol=1e-3)
+    picked = np.take_along_axis(D, np.asarray(di), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(dv),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_additive_requires_norms(rng):
+    from rayuela_tpu.search.scan_codes_pallas import build_codes_index
+    X, C, B = random_dataset(rng, d=16, n=100, m=3, h=16)
+    with pytest.raises(ValueError, match="norms"):
+        build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=False)
+
+
+def test_adversarial_lane_overflow_is_flagged_and_repaired(rng):
+    """Plant many near-ties of one query in a single lane; search_codes
+    must return the exact LUT-score top-k anyway (flag + XLA rescan)."""
+    from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
+                                                      search_codes)
+    d, m, h, n, k = 16, 4, 16, 2048, 32
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    # make lane 0 of every tile hold the same (best) code row for q0
+    best = rng.integers(0, h, m).astype(np.int32)
+    for t in range(16):
+        B[t * 128] = best
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    Q = np.asarray(reconstruct_pq(C, B, d))[0:1] + 0.0
+    Q = np.concatenate([Q, rng.standard_normal((3, d)).astype(np.float32)])
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True, d=d)
+    dv, di = search_codes(idx, jnp.asarray(Q), k, r=8, tile=1024,
+                          interpret=True, lut_dtype=jnp.float32)
+    Xd = np.asarray(reconstruct_pq(C, B, d))
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(dv), np.sort(D, 1)[:, :k],
+                               rtol=1e-4, atol=1e-3)
