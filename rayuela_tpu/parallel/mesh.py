@@ -22,6 +22,7 @@ all-gather and merge — k ≪ n, so the collective is tiny (SURVEY.md
 
 from __future__ import annotations
 
+import functools as _functools
 from functools import partial
 
 import jax
@@ -64,35 +65,17 @@ def pad_to_multiple(x: Array, mult: int, axis: int = 0, fill=0):
     return jnp.pad(x, cfg, constant_values=fill), n
 
 
-def sharded_scan_topk(mesh: Mesh, Q: Array, C: Array, B: Array, *,
-                      k: int, pq: bool = False,
-                      norm_term: Array | None = None,
-                      tile: int = 1 << 14):
-    """Data-parallel ADC scan: codes sharded over ``data``, queries
-    replicated; local top-k per shard, then a top-k merge of the
-    all-gathered partial lists (exact — the global top-k is contained in
-    the union of per-shard top-k).
-
-    TPU-native replacement for the reference's OpenMP scan over one
-    host's memory (`deps/src/linscan_aqd.cpp:55-61`); the merge is the
-    all-gather step of SURVEY.md §2.5.
-    """
+@_functools.lru_cache(maxsize=64)
+def _sharded_scan_fn(mesh: Mesh, n: int, shard_n: int, klocal: int,
+                     k: int, pq: bool, have_norms: bool, tile: int):
+    """Build-and-cache the jitted sharded scan for one (mesh, shape,
+    statics) signature — re-jitting per call was the 1-device ~2x
+    wrapper overhead (every search retraced and recompiled)."""
     from jax import shard_map
 
     from rayuela_tpu.search.linscan import scan_topk
 
     ndata = mesh.shape["data"]
-    Bp, n = pad_to_multiple(B, ndata)
-    shard_n = Bp.shape[0] // ndata
-    have_norms = norm_term is not None
-    if have_norms:
-        nt, _ = pad_to_multiple(norm_term, ndata, fill=jnp.inf)
-    else:  # placeholder so the shard_map signature is static
-        nt = jnp.zeros((Bp.shape[0],), jnp.float32)
-
-    # Padded rows decode to finite scores; requesting `pad` extra local
-    # candidates keeps the merge exact even if fake rows rank high.
-    klocal = min(k + (Bp.shape[0] - n), shard_n)
 
     def local(Q, C, B, nt):
         # Each shard scans its slice; ids are local → offset by shard.
@@ -110,33 +93,48 @@ def sharded_scan_topk(mesh: Mesh, Q: Array, C: Array, B: Array, *,
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), P(), P("data", None), P("data")),
                    out_specs=(P(), P()), check_vma=False)
-    return jax.jit(fn)(Q, C, Bp, nt)
+    return jax.jit(fn)
 
 
-def sharded_search(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
-                   k: int, r: int | None = None, bq: int = 128,
-                   tile: int = 2048, interpret: bool = False):
-    """Multi-chip fused search: the DECODED index shards over ``data``
-    (each chip holds n/P decoded rows — this is how a pod slice holds
-    SIFT1B-class bases), queries replicate, each chip runs the fused
-    Pallas scan kernel on its shard, and the (nq, k) partial lists
-    merge with one all-gather + top-k.
+def sharded_scan_topk(mesh: Mesh, Q: Array, C: Array, B: Array, *,
+                      k: int, pq: bool = False,
+                      norm_term: Array | None = None,
+                      tile: int = 1 << 14):
+    """Data-parallel ADC scan: codes sharded over ``data``, queries
+    replicated; local top-k per shard, then a top-k merge of the
+    all-gathered partial lists (exact — the global top-k is contained in
+    the union of per-shard top-k).
 
-    Returns ``(dists, ids, flagged)``; flagged queries (per-lane buffer
-    overflow on some shard) should re-run via the exact XLA path
-    (`sharded_scan_topk`) — same contract as the single-chip `search`.
+    TPU-native replacement for the reference's OpenMP scan over one
+    host's memory (`deps/src/linscan_aqd.cpp:55-61`); the merge is the
+    all-gather step of SURVEY.md §2.5.
     """
+    ndata = mesh.shape["data"]
+    Bp, n = pad_to_multiple(B, ndata)
+    shard_n = Bp.shape[0] // ndata
+    have_norms = norm_term is not None
+    if have_norms:
+        nt, _ = pad_to_multiple(norm_term, ndata, fill=jnp.inf)
+    else:  # placeholder so the shard_map signature is static
+        nt = jnp.zeros((Bp.shape[0],), jnp.float32)
+
+    # Padded rows decode to finite scores; requesting `pad` extra local
+    # candidates keeps the merge exact even if fake rows rank high.
+    klocal = min(k + (Bp.shape[0] - n), shard_n)
+    fn = _sharded_scan_fn(mesh, n, shard_n, klocal, k, pq, have_norms,
+                          tile)
+    return fn(Q, C, Bp, nt)
+
+
+@_functools.lru_cache(maxsize=64)
+def _sharded_search_fn(mesh: Mesh, n: int, shard_n: int, klocal: int,
+                       k: int, r: int, bq: int, tile: int,
+                       interpret: bool):
     from jax import shard_map
 
     from rayuela_tpu.search.scan_pallas import pallas_scan_topk
 
-    if r is None:
-        r = 16 if k <= 512 else 48
     ndata = mesh.shape["data"]
-    Xp, n = pad_to_multiple(Xd, ndata)
-    x2p, _ = pad_to_multiple(x2, ndata, fill=jnp.inf)
-    shard_n = Xp.shape[0] // ndata
-    klocal = min(k, shard_n)
 
     def local(Q, Xd, x2):
         d, i, fl = pallas_scan_topk(Q, Xd, x2, k=klocal, r=r, bq=bq,
@@ -154,7 +152,98 @@ def sharded_search(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), P("data", None), P("data")),
                    out_specs=(P(), P(), P()), check_vma=False)
-    return jax.jit(fn)(Q, Xp, x2p)
+    return jax.jit(fn)
+
+
+def sharded_search(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
+                   k: int, r: int | None = None, bq: int = 128,
+                   tile: int = 2048, interpret: bool = False):
+    """Multi-chip fused search: the DECODED index shards over ``data``
+    (each chip holds n/P decoded rows — this is how a pod slice holds
+    SIFT1B-class bases), queries replicate, each chip runs the fused
+    Pallas scan kernel on its shard, and the (nq, k) partial lists
+    merge with one all-gather + top-k.
+
+    Returns ``(dists, ids, flagged)``; flagged queries (per-lane buffer
+    overflow on some shard) should re-run via the exact XLA path
+    (`sharded_scan_topk`) — same contract as the single-chip `search`.
+
+    The jitted executable is cached per (mesh, shapes, statics) — see
+    `_sharded_search_fn`.
+    """
+    if r is None:
+        r = 16 if k <= 512 else 48
+    ndata = mesh.shape["data"]
+    Xp, n = pad_to_multiple(Xd, ndata)
+    x2p, _ = pad_to_multiple(x2, ndata, fill=jnp.inf)
+    shard_n = Xp.shape[0] // ndata
+    klocal = min(k, shard_n)
+    fn = _sharded_search_fn(mesh, n, shard_n, klocal, k, r, bq, tile,
+                            interpret)
+    return fn(Q, Xp, x2p)
+
+
+@_functools.lru_cache(maxsize=64)
+def _sharded_search_codes_fn(mesh: Mesh, n: int, shard_n: int,
+                             klocal: int, k: int, r: int, bq: int,
+                             tile: int, lut_dtype, interpret: bool):
+    from jax import shard_map
+
+    from rayuela_tpu.search.scan_codes_pallas import pallas_scan_codes_topk
+
+    ndata = mesh.shape["data"]
+
+    def local(T, packed):
+        d, i, fl = pallas_scan_codes_topk(
+            T, packed, k=klocal, r=r, bq=bq, tile=tile, verify=True,
+            interpret=interpret, lut_dtype=lut_dtype)
+        shard = jax.lax.axis_index("data")
+        i = i + shard * shard_n
+        d = jnp.where(i < n, d, jnp.inf)
+        dg = jax.lax.all_gather(d, "data", axis=1, tiled=True)
+        ig = jax.lax.all_gather(i, "data", axis=1, tiled=True)
+        neg, loc = jax.lax.top_k(-dg, min(k, ndata * klocal))
+        fl = jax.lax.psum(fl.astype(jnp.int32), "data") > 0
+        return -neg, jnp.take_along_axis(ig, loc, axis=1), fl
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P("data", None)),
+                   out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_search_codes(mesh: Mesh, T: Array, packed: Array, *,
+                         k: int, r: int | None = None, bq: int = 128,
+                         tile: int = 2048, lut_dtype=None,
+                         interpret: bool = False):
+    """Multi-chip CODE-RESIDENT search: packed uint8 codes shard over
+    ``data`` (each chip holds n/P * ~m bytes — a SIFT1B-class base at
+    m=8 is ~1.1 GB/chip on an 8-chip slice), the per-query LUT stack
+    replicates (m'·h·nq f32, tiny), each chip runs the code-resident
+    kernel on its shard, and the (nq, k) partial lists merge with one
+    all-gather + top-k. Same memory model as the reference's
+    multi-worker LUT scan (`deps/src/linscan_aqd.cpp:55-61`), over ICI.
+
+    ``T`` from `scan_codes_pallas.build_luts`, ``packed`` from
+    `pack_codes`. Returns ``(scores, ids, flagged)``; scores exclude
+    the +|q|^2 constant."""
+    import jax.numpy as _jnp
+
+    if lut_dtype is None:
+        lut_dtype = _jnp.bfloat16
+    if r is None:
+        r = 16 if k <= 512 else 48
+    ndata = mesh.shape["data"]
+    Pp, n = pad_to_multiple(packed, ndata)
+    shard_n = Pp.shape[0] // ndata
+    # Mesh-pad rows unpack to code 0 with finite scores (the kernel only
+    # masks rows past the SHARD's own padded n); they are dropped by the
+    # i < n mask after the scan, so over-fetch by the pad count to keep
+    # the merge exact even if they rank high.
+    klocal = min(k + (Pp.shape[0] - n), shard_n)
+    fn = _sharded_search_codes_fn(mesh, n, shard_n, klocal, k, r, bq,
+                                  tile, lut_dtype, interpret)
+    return fn(T, Pp)
 
 
 @partial(jax.jit, static_argnames=("h",), donate_argnums=(1,))

@@ -112,6 +112,41 @@ def test_pq_lloyd_sharded_matches_unsharded(rng, mesh):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_sharded_codes_search_matches_local(rng, mesh):
+    """Code-resident sharded search (codes sharded over data, LUTs
+    replicated, interpret mode) == single-device XLA LUT scan — and the
+    jitted executable is cached across calls."""
+    from rayuela_tpu.parallel.mesh import (_sharded_search_codes_fn,
+                                           sharded_search_codes)
+    from rayuela_tpu.search.scan_codes_pallas import (build_luts,
+                                                      pack_codes,
+                                                      xla_lut_scan)
+    d, m, h, n, nq, k = 16, 4, 16, 2111, 6, 15   # ragged vs 4-way shard
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    T = build_luts(jnp.asarray(C), Q, pq=True, d=d)
+    packed = pack_codes(jnp.asarray(B))
+    s_ref, i_ref = xla_lut_scan(T, jnp.asarray(B), k)
+    before = _sharded_search_codes_fn.cache_info().misses
+    s_sh, i_sh, fl = sharded_search_codes(
+        mesh, T, packed, k=k, r=16, bq=8, tile=2048,
+        lut_dtype=jnp.float32, interpret=True)
+    s_sh2, _, _ = sharded_search_codes(
+        mesh, T, packed, k=k, r=16, bq=8, tile=2048,
+        lut_dtype=jnp.float32, interpret=True)
+    assert (_sharded_search_codes_fn.cache_info().misses - before) == 1
+    assert not np.asarray(fl).any()
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s_sh2), np.asarray(s_sh))
+    # returned ids score identically to the reference ranking
+    from tests.test_scan_codes import _lut_brute
+    s64 = _lut_brute(T, B)
+    picked = np.take_along_axis(s64, np.asarray(i_sh), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(s_sh),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_sharded_pallas_search_matches_local(rng, mesh):
     """Decoded-index sharded search (fused kernel per shard, interpret
     mode) == single-device exact scan."""
