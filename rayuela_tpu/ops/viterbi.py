@@ -78,13 +78,29 @@ def _viterbi_chunk(u: Array, binaries: Array) -> Array:
     return jnp.concatenate([b_first[:, None], jnp.transpose(rest)], axis=1)
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def viterbi_encode(X: Array, C: Array, chunk: int = 2048) -> Array:
+def viterbi_encode(X: Array, C: Array, chunk: int = 2048,
+                   impl: str = "auto") -> Array:
     """Exact chain-optimal codes ``(n, m) int32`` for all vectors.
 
     The TPU-native `quantize_chainq` (reference `src/ChainQ.jl:305-348`,
-    which dispatches to Julia/C++/CUDA backends; here there is only one
-    batched path)."""
+    which dispatches to Julia/C++/CUDA backends). ``impl``: ``auto``
+    picks the fused Pallas kernel on TPU (VMEM-resident forward pass +
+    recomputed backtrace, `rayuela_tpu.ops.viterbi_pallas`) and the
+    batched XLA path elsewhere; force with ``xla`` / ``pallas`` /
+    ``pallas-interpret``."""
+    if impl == "auto":
+        h_ok = C.shape[1] % 8 == 0
+        impl = "pallas" if (jax.default_backend() not in ("cpu",)
+                            and h_ok) else "xla"
+    if impl in ("pallas", "pallas-interpret"):
+        from rayuela_tpu.ops.viterbi_pallas import viterbi_encode_pallas
+        return viterbi_encode_pallas(
+            X, C, interpret=impl == "pallas-interpret")
+    return _viterbi_encode_xla(X, C, chunk=chunk)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _viterbi_encode_xla(X: Array, C: Array, chunk: int = 2048) -> Array:
     n = X.shape[0]
     nchunks = cdiv(n, chunk)
     pad = nchunks * chunk - n

@@ -106,3 +106,34 @@ def test_quantize_chainq_roundtrip(rng):
                                h=h, niter=3, chunk=64)
     B2 = quantize_chainq(model, X, chunk=64)
     np.testing.assert_array_equal(np.asarray(B), np.asarray(B2))
+
+
+def test_viterbi_pallas_matches_xla(rng):
+    """Fused Pallas Viterbi (interpret mode) == XLA batched min-plus:
+    identical codes on tie-free random data, identical chain cost."""
+    import jax.numpy as jnp
+    from rayuela_tpu.ops.viterbi import viterbi_encode
+    from rayuela_tpu.ops.viterbi_pallas import viterbi_encode_pallas
+    d, m, h, n = 24, 4, 16, 700            # ragged vs bc
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    C = rng.standard_normal((m, h, d)).astype(np.float32)
+    B_ref = np.asarray(viterbi_encode(jnp.asarray(X), jnp.asarray(C),
+                                      chunk=256))
+    B_pl = np.asarray(viterbi_encode_pallas(jnp.asarray(X),
+                                            jnp.asarray(C), bc=256,
+                                            interpret=True))
+    assert B_pl.shape == (n, m)
+    np.testing.assert_array_equal(B_pl, B_ref)
+
+
+def test_viterbi_pallas_single_codebook(rng):
+    """m=1 degenerates to nearest-center assignment."""
+    import jax.numpy as jnp
+    from rayuela_tpu.ops.viterbi_pallas import viterbi_encode_pallas
+    d, h, n = 8, 16, 300
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    C = rng.standard_normal((1, h, d)).astype(np.float32)
+    B = np.asarray(viterbi_encode_pallas(jnp.asarray(X), jnp.asarray(C),
+                                         bc=128, interpret=True))
+    ref = np.argmin(((X[:, None, :] - C[0][None]) ** 2).sum(-1), axis=1)
+    np.testing.assert_array_equal(B[:, 0], ref)
