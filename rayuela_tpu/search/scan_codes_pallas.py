@@ -121,27 +121,33 @@ def build_luts(C: Array, Q: Array, *, pq: bool = False,
 
 def _lut_scores(t_ref, codes_ref, *, mprime: int, h: int,
                 lut_dtype) -> Array:
-    """(tile, Bq) score block: per-codebook one-hot (tile, h) x T_j
-    (h, Bq) matmuls, codes unpacked from int32 words by VPU shifts."""
-    tile = codes_ref.shape[0]
+    """(tile, Bq) score block: per-codebook transposed one-hot
+    (h, tile) x T_j (h, Bq) matmuls contracting the leading dim, codes
+    unpacked from int32 words by VPU shifts.
+
+    Codes arrive TRANSPOSED (nw, tile) so the block is ~nw*tile*4 bytes
+    of VMEM instead of a lane-padded (tile, 128) slab, and the one-hot
+    is built (h, tile) directly from the (1, tile) word row — no
+    in-kernel transpose anywhere."""
+    tile = codes_ref.shape[1]
     bq = t_ref.shape[1]
-    iota_h = lax.broadcasted_iota(jnp.int32, (tile, h), 1)
+    iota_h = lax.broadcasted_iota(jnp.int32, (h, tile), 0)
     acc = jnp.zeros((tile, bq), jnp.float32)
     # bf16 operands: the one-hot is exact in bf16 and each product IS
     # the (bf16) table value, f32-accumulated — exact for bf16 tables.
     # f32 operands: the TPU MXU's default precision decomposes f32 into
     # ONE bf16 pass (~1e-3 relative error); force HIGHEST so the f32
     # path is an exact gather (it is the test/debug mode).
-    prec = (lax.Precision.HIGHEST if lut_dtype == jnp.float32
+    prec = (lax.Precision.HIGHEST if t_ref.dtype == jnp.float32
             else lax.Precision.DEFAULT)
     for j in range(mprime):
         w, sh = divmod(j, 4)
-        word = codes_ref[:, w:w + 1]                      # (tile, 1) i32
+        word = codes_ref[w:w + 1, :]                      # (1, tile) i32
         c = lax.shift_right_logical(word, 8 * sh) & 0xFF
-        oh = (iota_h == c).astype(lut_dtype)              # (tile, h)
+        ohT = (iota_h == c).astype(lut_dtype)             # (h, tile)
         acc = acc + lax.dot_general(
-            oh, t_ref[j * h:(j + 1) * h, :].astype(lut_dtype),
-            (((1,), (0,)), ((), ())),
+            ohT, t_ref[j * h:(j + 1) * h, :].astype(lut_dtype),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
     return acc
 
@@ -251,9 +257,11 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
     nqp = cdiv(nq, bq) * bq
     ntiles, nqb = npad // tile, nqp // bq
 
-    Tf = T.reshape(mprime * h, nq)
+    # Tables ship at lut_dtype (halves the per-visit T-block DMA and
+    # its double-buffered VMEM in bf16 mode); codes ship transposed.
+    Tf = T.reshape(mprime * h, nq).astype(lut_dtype)
     Tf = jnp.pad(Tf, ((0, 0), (0, nqp - nq)))
-    Pp = jnp.pad(packed, ((0, npad - n), (0, 0)))
+    PT = jnp.pad(packed, ((0, npad - n), (0, 0))).T        # (nw, npad)
 
     kern = functools.partial(_codes_scan_kernel, rows=rows, r=r,
                              ntiles=ntiles, bq=bq, mprime=mprime, h=h,
@@ -264,7 +272,7 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
         in_specs=[
             pl.BlockSpec((mprime * h, bq), lambda qb, t: (0, qb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, nw), lambda qb, t: (t, 0),
+            pl.BlockSpec((nw, tile), lambda qb, t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -281,7 +289,7 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(Tf, Pp)
+    )(Tf, PT)
 
     cand_v = outv[:, :, :nq].reshape(r * LANES, nq).T
     cand_i = outi[:, :, :nq].reshape(r * LANES, nq).T
@@ -305,7 +313,7 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
         in_specs=[
             pl.BlockSpec((mprime * h, bq), lambda qb, t: (0, qb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, nw), lambda qb, t: (t, 0),
+            pl.BlockSpec((nw, tile), lambda qb, t: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, bq), lambda qb, t: (0, qb),
                          memory_space=pltpu.VMEM),
@@ -315,7 +323,7 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
         out_shape=jax.ShapeDtypeStruct((LANES, nqp), jnp.int32),
         scratch_shapes=[pltpu.VMEM((LANES, bq), jnp.int32)],
         interpret=interpret,
-    )(Tf, Pp, tau)
+    )(Tf, PT, tau)
     flagged = jnp.any(cnt[:, :nq] > r, axis=0)
     return scores, ids, flagged
 
