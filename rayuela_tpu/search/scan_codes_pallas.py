@@ -42,8 +42,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rayuela_tpu.search.scan_pallas import (LANES, _apply_network,
-                                            _merge_stages, _sort_stages)
+from rayuela_tpu.search.scan_pallas import (LANES, _sel_dtypes,
+                                            _select_insert, candidate_ids)
 from rayuela_tpu.utils import cdiv, splitarray
 
 Array = jax.Array
@@ -157,47 +157,19 @@ def _codes_scan_kernel(t_ref, codes_ref, outv_ref, outi_ref,
                        ntiles: int, bq: int, mprime: int, h: int,
                        n: int, lut_dtype):
     t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        bufv[:] = jnp.full(bufv.shape, jnp.inf, jnp.float32)
-        bufi[:] = jnp.zeros(bufi.shape, jnp.int32)
-
     s = _lut_scores(t_ref, codes_ref, mprime=mprime, h=h,
                     lut_dtype=lut_dtype)
     tile = rows * LANES
     gid2 = (t * tile
             + lax.broadcasted_iota(jnp.int32, (tile, bq), 0))
     s = jnp.where(gid2 < n, s, jnp.inf)                   # mask pad rows
-    sv = s.reshape(rows, LANES, bq)
-    gid = (t * tile
-           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 0) * LANES
-           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 1))
-
-    sv, si = _apply_network(sv, gid, _sort_stages(rows), descending=True)
-    mv = jnp.concatenate([bufv[:], sv], axis=0)
-    mi = jnp.concatenate([bufi[:], si], axis=0)
-    mv, mi = _apply_network(mv, mi, _merge_stages(r + rows))
-    bufv[:] = mv[:r]
-    bufi[:] = mi[:r]
-
-    qb = pl.program_id(0)
-
-    @pl.when(t == ntiles - 1)
-    def _():
-        cpv = pltpu.make_async_copy(
-            bufv, outv_ref.at[:, :, pl.ds(qb * bq, bq)], sem.at[0])
-        cpi = pltpu.make_async_copy(
-            bufi, outi_ref.at[:, :, pl.ds(qb * bq, bq)], sem.at[1])
-        cpv.start()
-        cpi.start()
-        cpv.wait()
-        cpi.wait()
+    _select_insert(s, t, bufv, bufi, sem, outv_ref, outi_ref,
+                   rows=rows, r=r, ntiles=ntiles, bq=bq)
 
 
 def _codes_verify_kernel(t_ref, codes_ref, tau_ref, cnt_ref, acc,
                          *, rows: int, ntiles: int, mprime: int,
-                         h: int, n: int, lut_dtype):
+                         h: int, n: int, lut_dtype, sel_dtype):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -210,8 +182,9 @@ def _codes_verify_kernel(t_ref, codes_ref, tau_ref, cnt_ref, acc,
     bq = s.shape[1]
     gid2 = t * tile + lax.broadcasted_iota(jnp.int32, (tile, bq), 0)
     s = jnp.where(gid2 < n, s, jnp.inf)
-    sv = s.reshape(rows, LANES, bq)
-    hit = (sv < tau_ref[:][None, :, :]).astype(jnp.int32)
+    sv = s.reshape(rows, LANES, bq).astype(sel_dtype)
+    tau = tau_ref[:].astype(sel_dtype)
+    hit = (sv < tau[None, :, :]).astype(jnp.int32)
     acc[:] = acc[:] + jnp.sum(hit, axis=0)
 
     @pl.when(t == ntiles - 1)
@@ -225,11 +198,11 @@ def _codes_verify_kernel(t_ref, codes_ref, tau_ref, cnt_ref, acc,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
-                              "interpret", "lut_dtype"))
+                              "interpret", "lut_dtype", "sel16"))
 def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
                            r: int = 48, bq: int = 128, tile: int = 2048,
                            verify: bool = True, interpret: bool = False,
-                           lut_dtype=jnp.bfloat16
+                           lut_dtype=jnp.bfloat16, sel16: bool = False
                            ) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k over packed codes.
 
@@ -256,6 +229,7 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
     npad = cdiv(n, tile) * tile
     nqp = cdiv(nq, bq) * bq
     ntiles, nqb = npad // tile, nqp // bq
+    seldt, idt = _sel_dtypes(sel16, npad, tile)
 
     # Tables ship at lut_dtype (halves the per-visit T-block DMA and
     # its double-buffered VMEM in bf16 mode); codes ship transposed.
@@ -280,19 +254,19 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((r, LANES, nqp), jnp.float32),
-            jax.ShapeDtypeStruct((r, LANES, nqp), jnp.int32),
+            jax.ShapeDtypeStruct((r, LANES, nqp), seldt),
+            jax.ShapeDtypeStruct((r, LANES, nqp), idt),
         ),
         scratch_shapes=[
-            pltpu.VMEM((r, LANES, bq), jnp.float32),
-            pltpu.VMEM((r, LANES, bq), jnp.int32),
+            pltpu.VMEM((r, LANES, bq), seldt),
+            pltpu.VMEM((r, LANES, bq), idt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(Tf, PT)
 
-    cand_v = outv[:, :, :nq].reshape(r * LANES, nq).T
-    cand_i = outi[:, :, :nq].reshape(r * LANES, nq).T
+    cand_v = outv[:, :, :nq].astype(jnp.float32).reshape(r * LANES, nq).T
+    cand_i = candidate_ids(outi, nq, r)
     kk = min(k, n)
     neg, loc = lax.top_k(-cand_v, kk)
     scores = -neg
@@ -306,7 +280,7 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
     tau = jnp.broadcast_to(tau[None, :], (LANES, nqp))
     vkern = functools.partial(_codes_verify_kernel, rows=rows,
                               ntiles=ntiles, mprime=mprime, h=h, n=n,
-                              lut_dtype=lut_dtype)
+                              lut_dtype=lut_dtype, sel_dtype=seldt)
     cnt = pl.pallas_call(
         vkern,
         grid=(nqb, ntiles),
@@ -379,20 +353,24 @@ def build_codes_index(C: Array, B: Array, *, pq: bool = False,
 
 def search_codes(index: CodesIndex, Q: Array, k: int, *,
                  r: int | None = None, bq: int = 128, tile: int = 2048,
-                 interpret: bool = False, lut_dtype=jnp.bfloat16
-                 ) -> tuple[Array, Array]:
+                 interpret: bool = False, lut_dtype=jnp.bfloat16,
+                 sel16: bool | None = None) -> tuple[Array, Array]:
     """Exact top-k (for the LUT scores) over a packed-code index:
     fused kernel + XLA LUT re-scan for flagged queries. Returns true
     squared distances for PQ/additive-with-norms conventions (adds the
-    +|q|^2 constant, like `scan_pallas.search`)."""
+    +|q|^2 constant, like `scan_pallas.search`). ``sel16`` (default:
+    on for compiled TPU runs) selects on bf16 values + i16 row ids —
+    exact for the bf16-rounded scores."""
     if r is None:
         r = 16 if k <= 512 else 48
+    if sel16 is None:
+        sel16 = not interpret
     d = Q.shape[1] if index.d in (-1, None) else index.d
     T = build_luts(index.C, Q, pq=index.pq, d=d,
                    norms_cbook=index.norms_cbook)
     scores, ids, flagged = pallas_scan_codes_topk(
         T, index.packed, k=k, r=r, bq=bq, tile=tile, verify=True,
-        interpret=interpret, lut_dtype=lut_dtype)
+        interpret=interpret, lut_dtype=lut_dtype, sel16=sel16)
     flagged = np.asarray(flagged)
     if flagged.any():
         qidx = np.nonzero(flagged)[0]

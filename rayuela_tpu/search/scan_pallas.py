@@ -124,32 +124,33 @@ def _apply_network(v: Array, i: Array, stages,
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
-                 bufv, bufi, sem, *, rows: int, r: int, ntiles: int,
-                 bq: int):
-    """One (query-block, tile) step: MXU distance block + bitonic
-    insert into the per-lane running top-R buffer.
+def _select_insert(s: Array, t, bufv, bufi, sem, outv_ref, outi_ref,
+                   *, rows: int, r: int, ntiles: int, bq: int):
+    """Shared selection tail for all scan kernels: cast the (tile, Bq)
+    f32 score block to the buffer dtype, bitonic-sort the tile rows
+    descending, merge into the per-lane running top-R buffer, and DMA
+    the buffers to HBM on the last tile.
 
-    Layout: everything selection-related is (slots, 128 lanes, Bq) so
-    the sort axis is the leading batch axis (see `_apply_network`)."""
-    t = pl.program_id(1)
+    Buffer dtypes come from the scratch allocations: f32 values + i32
+    global ids (exact mode), or bf16 values + i16 per-lane ROW ids
+    (``sel16`` mode — half the VPU byte traffic and buffer VMEM; f32→
+    bf16 rounding is monotone, so the strict-below verification count
+    still certifies the bf16-ranked top-k exactly). Row ids encode
+    ``t*rows + row``; the host reconstructs ``gid = rowid*128 + lane``.
+    """
+    idt = bufi.dtype
 
     @pl.when(t == 0)
     def _():
-        bufv[:] = jnp.full(bufv.shape, jnp.inf, jnp.float32)
-        bufi[:] = jnp.zeros(bufi.shape, jnp.int32)
+        bufv[:] = jnp.full(bufv.shape, jnp.inf, bufv.dtype)
+        bufi[:] = jnp.zeros(bufi.shape, idt)
 
-    # (tile, Bq) squared distances, up to the per-query |q|^2 constant
-    s = -2.0 * lax.dot_general(
-        x_ref[:], qt_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + x2_ref[:]
-    tile, bq = s.shape
-    sv = s.reshape(rows, LANES, bq)
-    gid = (t * tile
-           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 0) * LANES
-           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 1))
+    sv = s.reshape(rows, LANES, bq).astype(bufv.dtype)
+    rid = (t * rows
+           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 0)
+           ).astype(idt)
 
-    sv, si = _apply_network(sv, gid, _sort_stages(rows), descending=True)
+    sv, si = _apply_network(sv, rid, _sort_stages(rows), descending=True)
 
     # buffer (R asc) ++ tile rows sorted desc = bitonic sequence
     mv = jnp.concatenate([bufv[:], sv], axis=0)
@@ -175,11 +176,30 @@ def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
         cpi.wait()
 
 
+def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
+                 bufv, bufi, sem, *, rows: int, r: int, ntiles: int,
+                 bq: int):
+    """One (query-block, tile) step: MXU distance block + bitonic
+    insert into the per-lane running top-R buffer.
+
+    Layout: everything selection-related is (slots, 128 lanes, Bq) so
+    the sort axis is the leading batch axis (see `_apply_network`)."""
+    t = pl.program_id(1)
+    # (tile, Bq) squared distances, up to the per-query |q|^2 constant
+    s = -2.0 * lax.dot_general(
+        x_ref[:], qt_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + x2_ref[:]
+    _select_insert(s, t, bufv, bufi, sem, outv_ref, outi_ref,
+                   rows=rows, r=r, ntiles=ntiles, bq=bq)
+
+
 def _verify_kernel(qt_ref, x_ref, x2_ref, tau_ref, cnt_ref, acc,
-                   *, rows: int, ntiles: int):
+                   *, rows: int, ntiles: int, sel_dtype):
     """Count, per (query, lane), scores strictly below the global k-th
-    value tau. The per-lane buffer holds each lane's exact top-R, so the
-    final top-k is exact iff no lane has more than R scores < tau."""
+    value tau. The per-lane buffer holds each lane's exact top-R (in
+    ``sel_dtype`` ordering — the count compares in the same dtype, and
+    f32→bf16 rounding is monotone), so the final top-k is exact iff no
+    lane has more than R scores < tau."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -190,8 +210,9 @@ def _verify_kernel(qt_ref, x_ref, x2_ref, tau_ref, cnt_ref, acc,
         x_ref[:], qt_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + x2_ref[:]
     tile, bq = s.shape
-    sv = s.reshape(rows, LANES, bq)
-    hit = (sv < tau_ref[:][None, :, :]).astype(jnp.int32)
+    sv = s.reshape(rows, LANES, bq).astype(sel_dtype)
+    tau = tau_ref[:].astype(sel_dtype)
+    hit = (sv < tau[None, :, :]).astype(jnp.int32)
     acc[:] = acc[:] + jnp.sum(hit, axis=0)
 
     @pl.when(t == ntiles - 1)
@@ -210,12 +231,29 @@ def _pad2(x, r0, r1, fill=0.0):
     return jnp.pad(x, ((0, p0), (0, p1)), constant_values=fill)
 
 
+def _sel_dtypes(sel16: bool, npad: int, tile: int):
+    """Selection dtypes: (value dtype, row-id dtype). ``sel16`` keeps
+    bf16 values + i16 per-lane row ids when the row-id range fits."""
+    rowmax = (npad // tile) * (tile // LANES)
+    if sel16 and rowmax <= 32767:
+        return jnp.bfloat16, jnp.int16
+    return (jnp.bfloat16 if sel16 else jnp.float32), jnp.int32
+
+
+def candidate_ids(outi: Array, nq: int, r: int) -> Array:
+    """Row-id buffer (r, LANES, nqp) → global-id candidates (nq, rL)."""
+    lane = jnp.arange(LANES, dtype=jnp.int32)
+    gid = outi[:, :, :nq].astype(jnp.int32) * LANES + lane[None, :, None]
+    return gid.reshape(r * LANES, nq).T
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
-                              "interpret"))
+                              "interpret", "sel16"))
 def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
                      r: int = 48, bq: int = 128, tile: int = 2048,
-                     verify: bool = True, interpret: bool = False
+                     verify: bool = True, interpret: bool = False,
+                     sel16: bool = False
                      ) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k ADC scan over a decoded base.
 
@@ -226,6 +264,11 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
       k: neighbors (must be <= r * 128).
       r: per-lane buffer depth; the exactness check is count <= r.
       verify: run the counting kernel; returns per-query overflow flags.
+      sel16: run selection on bf16 values + i16 row ids (half the VPU
+        byte traffic and buffer VMEM). The result is the exact top-k of
+        the BF16-ROUNDED scores — a deterministic ranking the verify
+        count certifies in the same dtype (rounding is monotone);
+        returned distances are bf16-precise (~3 decimal digits).
 
     Returns ``(dists (nq, k), ids (nq, k), flagged (nq,) bool)``.
     Flagged queries must be re-run via the exact XLA path (done by
@@ -245,6 +288,7 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
     npad = cdiv(n, tile) * tile
     nqp = cdiv(nq, bq) * bq
     ntiles, nqb = npad // tile, nqp // bq
+    seldt, idt = _sel_dtypes(sel16, npad, tile)
 
     QT = _pad2(Q, nqp, dp).T                         # (dp, nqp)
     Xp = _pad2(Xd, npad, dp)
@@ -269,20 +313,20 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((r, LANES, nqp), jnp.float32),
-            jax.ShapeDtypeStruct((r, LANES, nqp), jnp.int32),
+            jax.ShapeDtypeStruct((r, LANES, nqp), seldt),
+            jax.ShapeDtypeStruct((r, LANES, nqp), idt),
         ),
         scratch_shapes=[
-            pltpu.VMEM((r, LANES, bq), jnp.float32),
-            pltpu.VMEM((r, LANES, bq), jnp.int32),
+            pltpu.VMEM((r, LANES, bq), seldt),
+            pltpu.VMEM((r, LANES, bq), idt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(QT, Xp, x2p)
 
     # exact top-k among the r*128 candidates (small, fast in XLA)
-    cand_v = outv[:, :, :nq].reshape(r * LANES, nq).T
-    cand_i = outi[:, :, :nq].reshape(r * LANES, nq).T
+    cand_v = outv[:, :, :nq].astype(jnp.float32).reshape(r * LANES, nq).T
+    cand_i = candidate_ids(outi, nq, r)
     kk = min(k, n)
     neg, loc = lax.top_k(-cand_v, kk)
     dists = -neg + jnp.sum(Q * Q, axis=-1, keepdims=True)
@@ -296,7 +340,8 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
     tau = jnp.full((nqp,), -jnp.inf, jnp.float32)
     tau = tau.at[:nq].set(-neg[:, kk - 1])
     tau = jnp.broadcast_to(tau[None, :], (LANES, nqp))
-    vkern = functools.partial(_verify_kernel, rows=rows, ntiles=ntiles)
+    vkern = functools.partial(_verify_kernel, rows=rows, ntiles=ntiles,
+                              sel_dtype=seldt)
     cnt = pl.pallas_call(
         vkern,
         grid=(nqb, ntiles),
@@ -341,8 +386,8 @@ def build_index(C: Array, B: Array, *, pq: bool = False,
 
 
 def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
-           bq: int = 128, tile: int = 2048, interpret: bool = False
-           ) -> tuple[Array, Array]:
+           bq: int = 128, tile: int = 2048, interpret: bool = False,
+           sel16: bool | None = None) -> tuple[Array, Array]:
     """Exact top-k search: Pallas fast path + XLA re-run for any query
     the verification kernel flags (host-side check, so shapes stay
     static under jit).
@@ -350,12 +395,18 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     ``r`` (per-lane buffer depth) auto-sizes from k: shallow buffers
     roughly halve the bitonic work for k <= 512 (expected per-lane
     occupancy k/128 stays far below r; overflows are caught by the
-    verification kernel and re-run exactly either way)."""
+    verification kernel and re-run exactly either way).
+
+    ``sel16`` (default: on for compiled TPU runs) runs the selection
+    networks on bf16 values + i16 row ids — the result is then the
+    exact top-k of the bf16-rounded scores (see `pallas_scan_topk`)."""
     if r is None:
         r = 16 if k <= 512 else 48
+    if sel16 is None:
+        sel16 = not interpret
     dists, ids, flagged = pallas_scan_topk(
         Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
-        verify=True, interpret=interpret)
+        verify=True, interpret=interpret, sel16=sel16)
     flagged = np.asarray(flagged)
     if flagged.any():
         from rayuela_tpu.search.linscan import exact_rescan

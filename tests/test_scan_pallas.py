@@ -122,3 +122,37 @@ def test_search_streamed_matches_single_shot(rng):
     picked = np.take_along_axis(D, np.asarray(di2), axis=1)
     np.testing.assert_allclose(picked, np.asarray(dv2),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_sel16_exact_on_bf16_representable_data(rng):
+    """bf16-value selection: on small-integer data every distance is
+    bf16-exact, so the top-k VALUES must equal brute force exactly
+    (ids may permute among genuinely tied distances)."""
+    nq, n, d, k = 8, 3000, 8, 40
+    Q = rng.integers(-1, 2, (nq, d)).astype(np.float32)
+    Xd = rng.integers(-1, 2, (n, d)).astype(np.float32)
+    dists, ids, flagged = run(Q, Xd, k=k, r=24, bq=8, tile=1024,
+                              sel16=True)
+    ref_d, _ = brute(Q, Xd, k)
+    dists, ids = np.asarray(dists), np.asarray(ids)
+    np.testing.assert_allclose(dists[~np.asarray(flagged)],
+                               ref_d[~np.asarray(flagged)], atol=1e-4)
+    # returned ids really score their reported distances
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    picked = np.take_along_axis(D, ids, axis=1)
+    np.testing.assert_allclose(picked, dists, atol=1e-4)
+
+
+def test_sel16_gaussian_within_bf16_tolerance(rng):
+    """On Gaussian data sel16 returns the exact top-k of the
+    bf16-rounded scores — true distances of returned ids must be
+    within bf16 rounding of the true top-k curve."""
+    nq, n, d, k = 6, 5000, 32, 50
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    dists, ids, flagged = run(Q, Xd, k=k, r=24, bq=8, tile=1024,
+                              sel16=True)
+    ref_d, _ = brute(Q, Xd, k)
+    D = ((Q[:, None, :].astype(np.float64) - Xd[None]) ** 2).sum(-1)
+    picked = np.take_along_axis(D, np.asarray(ids), axis=1)
+    np.testing.assert_allclose(picked, ref_d, rtol=2e-2, atol=1e-2)
