@@ -1,9 +1,15 @@
 """Device-mesh parallelism (SURVEY.md §2.5 TPU mapping)."""
 
+from rayuela_tpu.parallel.launch import (global_mesh,
+                                         host_local_to_global,
+                                         initialize)
+from rayuela_tpu.parallel.lsq_sharded import make_sr_train_step
 from rayuela_tpu.parallel.mesh import (make_mesh, pq_lloyd_step_sharded,
                                        replicate, shard_data,
-                                       sharded_scan_topk)
-from rayuela_tpu.parallel.lsq_sharded import make_sr_train_step
+                                       sharded_scan_topk, sharded_search,
+                                       sharded_search_codes)
 
-__all__ = ["make_mesh", "make_sr_train_step", "pq_lloyd_step_sharded",
-           "replicate", "shard_data", "sharded_scan_topk"]
+__all__ = ["global_mesh", "host_local_to_global", "initialize",
+           "make_mesh", "make_sr_train_step", "pq_lloyd_step_sharded",
+           "replicate", "shard_data", "sharded_scan_topk",
+           "sharded_search", "sharded_search_codes"]

@@ -163,3 +163,19 @@ def test_sharded_pallas_search_matches_local(rng, mesh):
     np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_launch_single_process_fallbacks(rng, mesh):
+    """Multi-host bootstrap degrades cleanly to single-process: no-op
+    initialize, global mesh over local devices, host_local_to_global
+    places a device array with the right sharding."""
+    from rayuela_tpu.parallel.launch import (global_mesh,
+                                             host_local_to_global,
+                                             initialize)
+    assert initialize() is False          # no coordinator configured
+    gm = global_mesh(n_model=2)
+    assert dict(gm.shape)["model"] == 2
+    x = rng.standard_normal((16, 4)).astype(np.float32)
+    xg = host_local_to_global(gm, x)
+    np.testing.assert_array_equal(np.asarray(xg), x)
+    assert xg.sharding.spec == P("data", None)
