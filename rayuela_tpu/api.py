@@ -43,12 +43,17 @@ class MCQModel:
 
 @dataclass
 class MCQIndex:
-    """A searchable base set: codes + decoded scan index + norms."""
+    """A searchable base set: codes + scan index + norms.
+
+    ``mode="decoded"`` keeps an (n, d) f32 decode on chip (fastest);
+    ``mode="codes"`` keeps only the packed uint8 codes (~m bytes/vector
+    — 64x smaller; the reference's deployment memory model)."""
     model: MCQModel
     codes: Array                   # (n, m) int32
-    scan_index: Any                # search.scan_pallas.LinscanIndex
+    scan_index: Any                # LinscanIndex | CodesIndex
     norms_codebook: Array | None = None
     norm_codes: Array | None = None
+    mode: str = "decoded"
 
 
 def train(Xt, method: str = "sr_d", m: int = 8, h: int = 256,
@@ -130,32 +135,47 @@ def encode(model: MCQModel, X, key=None, **kw) -> Array:
     return encoding_icm(key, X, model.codebooks, B0, **kw)
 
 
-def index_base(model: MCQModel, Xb, key=None, **kw) -> MCQIndex:
-    """Encode the base set and build the decoded scan index (+ norms
-    byte for non-orthogonal methods)."""
+def index_base(model: MCQModel, Xb, key=None, mode: str = "decoded",
+               **kw) -> MCQIndex:
+    """Encode the base set and build the scan index (+ norms byte for
+    non-orthogonal methods). ``mode="codes"`` builds the code-resident
+    index (~m bytes/vector on chip) instead of the decoded one."""
     from rayuela_tpu.search.norms import get_norms_codebook, quantize_norms
+    from rayuela_tpu.search.scan_codes_pallas import build_codes_index
     from rayuela_tpu.search.scan_pallas import build_index
 
+    if mode not in ("decoded", "codes"):
+        raise ValueError(f"mode {mode!r}: 'decoded' or 'codes'")
     Xb = jnp.asarray(Xb)
     key = jax.random.PRNGKey(2) if key is None else key
     B = encode(model, Xb, key=key, **kw)
     norms_cb = norm_codes = None
     if not model.pq_layout and model.train_codes is not None:
+        # the code-resident index stacks the norms table with the (h,·)
+        # per-codebook LUTs, so cap its size at h (the reference's full
+        # norms byte = 256 entries is the h=256 protocol case)
+        nh = min(256, model.h) if mode == "codes" else 256
         _, norms_cb = get_norms_codebook(key, model.codebooks,
-                                         model.train_codes)
+                                         model.train_codes, h=nh)
         norm_codes, _ = quantize_norms(model.codebooks, B, norms_cb)
         nt = jnp.take(norms_cb, norm_codes)
     else:
         nt = None
-    idx = build_index(model.codebooks, B, pq=model.pq_layout,
-                      d=Xb.shape[1], norm_term=nt)
-    return MCQIndex(model, B, idx, norms_cb, norm_codes)
+    if mode == "codes":
+        idx = build_codes_index(model.codebooks, B, pq=model.pq_layout,
+                                d=Xb.shape[1], norms_cbook=norms_cb,
+                                norms_codes=norm_codes)
+    else:
+        idx = build_index(model.codebooks, B, pq=model.pq_layout,
+                          d=Xb.shape[1], norm_term=nt)
+    return MCQIndex(model, B, idx, norms_cb, norm_codes, mode=mode)
 
 
-def search(index: MCQIndex, Q, k: int = 100) -> tuple[Array, Array]:
+def search(index: MCQIndex, Q, k: int = 100,
+           **kw) -> tuple[Array, Array]:
     """Top-k ADC search (rotates queries when the model has R)."""
     from rayuela_tpu.search import linscan
-    from rayuela_tpu.search import scan_pallas
+    from rayuela_tpu.search import scan_codes_pallas, scan_pallas
 
     Q = jnp.asarray(Q)
     if index.model.R is not None and index.model.method == "chainq":
@@ -164,9 +184,14 @@ def search(index: MCQIndex, Q, k: int = 100) -> tuple[Array, Array]:
     elif index.model.method == "opq":
         Q = jnp.matmul(Q, index.model.R,
                        preferred_element_type=jnp.float32)
+    k = min(k, index.scan_index.n)
+    if index.mode == "codes":
+        if jax.default_backend() == "cpu":
+            kw.setdefault("interpret", True)
+            kw.setdefault("lut_dtype", jnp.float32)
+        return scan_codes_pallas.search_codes(index.scan_index, Q, k,
+                                              **kw)
     if jax.default_backend() == "cpu":
         return linscan.exact_rescan(Q, index.scan_index.Xd,
-                                    index.scan_index.x2,
-                                    min(k, index.scan_index.n))
-    return scan_pallas.search(index.scan_index, Q,
-                              min(k, index.scan_index.n))
+                                    index.scan_index.x2, k)
+    return scan_pallas.search(index.scan_index, Q, k, **kw)

@@ -108,6 +108,11 @@ def build_luts(C: Array, Q: Array, *, pq: bool = False,
         T = -2.0 * jnp.einsum("mhd,qd->mhq", C, Q,
                               preferred_element_type=jnp.float32)
     if norms_cbook is not None:
+        if norms_cbook.size > h:
+            raise ValueError(
+                f"norms codebook ({norms_cbook.size} entries) must fit "
+                f"the (h={h})-row table stack; train it with h' <= h "
+                "(rayuela_tpu.search.norms.get_norms_codebook(h=...))")
         nt = jnp.broadcast_to(
             jnp.pad(norms_cbook.reshape(-1),
                     (0, h - norms_cbook.size))[:, None], (h, nq))

@@ -43,3 +43,22 @@ def test_facade_rejects_unknown_method(data):
     Xt, _, _ = data
     with pytest.raises(ValueError):
         api.train(Xt, method="nope")
+
+
+def test_codes_mode_index_and_search(rng):
+    """mode='codes' end-to-end through the facade: PQ layout and an
+    additive method with quantized-norms byte."""
+    import rayuela_tpu.api as rq
+    Xt = rng.standard_normal((600, 32)).astype(np.float32)
+    Xb = rng.standard_normal((800, 32)).astype(np.float32)
+    Q = Xb[:20] + 0.01 * rng.standard_normal((20, 32)).astype(np.float32)
+
+    for method in ("pq", "rvq"):
+        model = rq.train(Xt, method=method, m=4, h=16, niter=4)
+        idx = rq.index_base(model, Xb, mode="codes")
+        assert idx.mode == "codes"
+        d, i = rq.search(idx, Q, k=20)
+        i = np.asarray(i)
+        assert i.shape == (20, 20) and (i < 800).all() and (i >= 0).all()
+        hit = (i == np.arange(20)[:, None]).any(1).mean()
+        assert hit > 0.5, (method, hit)
