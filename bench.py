@@ -1,24 +1,26 @@
-"""Headline benchmark: ADC linear-scan queries/s, SIFT1M protocol shape.
+"""Headline benchmarks: SIFT1M-protocol scan + encode on one TPU chip.
 
-Measures the deployment hot path (reference: `src/Linscan.jl:5-26` →
-`deps/src/linscan_aqd.cpp:37-102`, OpenMP over queries) on one TPU chip:
-n=1e6 base codes, m=8 codebooks, h=256, d=128, nquery=10_000, knn=1000 —
-the exact SIFT1M 64-bit protocol of
-`demos/demos_train_query_base.jl:15-19`.
+Emits one JSON line per metric: ``{"metric", "value", "unit",
+"vs_baseline"}``.
 
-Path measured: the fused Pallas scan+top-k kernel
-(`rayuela_tpu.search.scan_pallas`) over a once-decoded base index,
-verification kernel included (results are exact). Index build (decode)
-happens once and is excluded, matching the reference which scans
-pre-stored codes.
-
-The reference publishes no throughput numbers (BASELINE.md); the
-`vs_baseline` divisor is an estimate of its C++ OpenMP scan on a modern
-16-core CPU: each query streams n*m = 8 MB of codes with a
-table-lookup-accumulate plus a buffered partial_sort — ~2,000 queries/s
-end-to-end. Treat it as an order-of-magnitude anchor, not a measurement.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* ``adc_scan_qps_sift1m_m8_knn1000`` / ``..._knn100`` — the deployment
+  hot path (reference `src/Linscan.jl:5-26` →
+  `deps/src/linscan_aqd.cpp:37-102`): n=1e6 base, m=8, h=256, d=128,
+  nquery=1e4 — the exact SIFT1M 64-bit protocol of
+  `demos/demos_train_query_base.jl:15-19`. Fused Pallas scan over the
+  decoded index, verification included (exact for bf16-rounded scores).
+  vs_baseline divides by a documented ~2,000 qps estimate of the
+  reference's 16-core OpenMP scan (no number is published in-repo).
+* ``codes_scan_qps_sift1m_m8_knn1000`` — same protocol on the
+  CODE-RESIDENT index (`search/scan_codes_pallas`): ~8 MB of packed
+  codes on chip instead of a 512 MB decode; this is the apples-to-apples
+  memory model vs the reference's LUT scan.
+* ``icm_encode_vps_m8`` / ``_m16`` — LSQ-family ILS/ICM encode
+  (ilsiter=8, icmiter=4, npert=4; reference
+  `demos/demos_train_query_base.jl:64-67`) in vectors/s on the Pallas
+  running-sum kernel. The reference records no throughput (wall-clock
+  prints only), so vs_baseline is the speedup over this repo's own
+  XLA one-hot formulation measured in the same run.
 """
 
 from __future__ import annotations
@@ -28,42 +30,32 @@ import time
 
 import numpy as np
 
-BASELINE_QPS = 2000.0  # documented estimate; see module docstring
+SCAN_BASELINE_QPS = 2000.0  # documented estimate; see module docstring
 
 N, D, M, H = 1_000_000, 128, 8, 256
 NQ, KNN = 10_000, 1000
 QCHUNK = 2_000
+N_ENC = 200_000
 
 
-def main():
+def _sync(x):
     import jax
+    jax.block_until_ready(x)
+    return np.asarray(x[0] if isinstance(x, (tuple, list)) else x)
 
-    # Persistent compile cache: first-ever compile of the scan kernels
-    # through the remote compiler can take minutes; later runs reuse it.
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/rayuela_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
-    import jax.numpy as jnp
+def emit(metric, value, unit, vs):
+    print(json.dumps({"metric": metric, "value": round(value, 1),
+                      "unit": unit, "vs_baseline": round(vs, 3)}),
+          flush=True)
 
+
+def bench_scan(jax, jnp, rng, C, B, Q):
     from rayuela_tpu.search.scan_pallas import build_index, search
-
-    rng = np.random.default_rng(0)
-    C = jnp.asarray(rng.standard_normal((M, H, D // M)), jnp.float32)
-    B = jnp.asarray(rng.integers(0, H, size=(N, M)), jnp.int32)
-    Q = jnp.asarray(rng.standard_normal((NQ, D)), jnp.float32)
-    jax.block_until_ready((C, B, Q))
 
     index = build_index(C, B, pq=True, d=D)
     jax.block_until_ready(index.Xd)
 
-    # Warm-up / compile; force materialization through the tunnel (the
-    # axon queue runs ahead of block_until_ready). If the remote
-    # compiler flakes on the Pallas kernel (observed intermittently),
-    # fall back to the exact XLA scan so the bench always reports.
     do_search = search
     try:
         out = do_search(index, Q[:QCHUNK], KNN)
@@ -78,20 +70,97 @@ def main():
         out = do_search(index, Q[:QCHUNK], KNN)
         _ = np.asarray(out[0][0, :1])
 
+    for knn, name in ((KNN, "adc_scan_qps_sift1m_m8_knn1000"),
+                      (100, "adc_scan_qps_sift1m_m8_knn100")):
+        out = do_search(index, Q[:QCHUNK], knn)       # compile/warm
+        _ = np.asarray(out[0][0, :1])
+        t0 = time.perf_counter()
+        outs = [do_search(index, Q[s:s + QCHUNK], knn)
+                for s in range(0, NQ, QCHUNK)]
+        jax.block_until_ready(outs)
+        _ = np.asarray(outs[-1][0][0, 0])
+        qps = NQ / (time.perf_counter() - t0)
+        emit(name, qps, "queries/s", qps / SCAN_BASELINE_QPS)
+    del index
+
+
+def bench_scan_codes(jax, jnp, rng, C, B, Q):
+    from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
+                                                      search_codes)
+
+    idx = build_codes_index(C, B, pq=True, d=D)
+    jax.block_until_ready(idx.packed)
+    try:
+        out = search_codes(idx, Q[:QCHUNK], KNN)
+        _ = np.asarray(out[0][0, :1])
+    except Exception as e:
+        print(f"# codes-resident path unavailable "
+              f"({type(e).__name__}: {e})", flush=True)
+        return
     t0 = time.perf_counter()
-    outs = [do_search(index, Q[s:s + QCHUNK], KNN)
+    outs = [search_codes(idx, Q[s:s + QCHUNK], KNN)
             for s in range(0, NQ, QCHUNK)]
     jax.block_until_ready(outs)
-    _ = np.asarray(outs[-1][0][0, 0])  # hard sync
-    dt = time.perf_counter() - t0
+    _ = np.asarray(outs[-1][0][0, 0])
+    qps = NQ / (time.perf_counter() - t0)
+    emit("codes_scan_qps_sift1m_m8_knn1000", qps, "queries/s",
+         qps / SCAN_BASELINE_QPS)
 
-    qps = NQ / dt
-    print(json.dumps({
-        "metric": "adc_scan_qps_sift1m_m8_knn1000",
-        "value": round(qps, 1),
-        "unit": "queries/s",
-        "vs_baseline": round(qps / BASELINE_QPS, 3),
-    }))
+
+def bench_encode(jax, jnp, rng):
+    from rayuela_tpu.ops.icm import encoding_icm
+
+    key = jax.random.PRNGKey(0)
+    X = jnp.asarray(rng.standard_normal((N_ENC, D)), jnp.float32)
+    for m in (8, 16):
+        C = jnp.asarray(rng.standard_normal((m, H, D)) * 0.2,
+                        jnp.float32)
+        B0 = jnp.asarray(rng.integers(0, H, size=(N_ENC, m)), jnp.int32)
+        jax.block_until_ready((X, C, B0))
+        kw = dict(ilsiter=8, icmiter=4, npert=4, randord=True)
+
+        try:
+            _sync(encoding_icm(key, X, C, B0, impl="pallas", **kw))
+            t0 = time.perf_counter()
+            out = encoding_icm(key, X, C, B0, impl="pallas", **kw)
+            _sync(out)
+            vps = N_ENC / (time.perf_counter() - t0)
+        except Exception as e:
+            print(f"# pallas encode m={m} unavailable "
+                  f"({type(e).__name__}: {e})", flush=True)
+            continue
+
+        # XLA formulation on a slice, for the in-run speedup ratio
+        nx = 50_000
+        _sync(encoding_icm(key, X[:nx], C, B0[:nx], impl="xla", **kw))
+        t0 = time.perf_counter()
+        out = encoding_icm(key, X[:nx], C, B0[:nx], impl="xla", **kw)
+        _sync(out)
+        xla_vps = nx / (time.perf_counter() - t0)
+        emit(f"icm_encode_vps_m{m}", vps, "vectors/s", vps / xla_vps)
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/rayuela_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    C = jnp.asarray(rng.standard_normal((M, H, D // M)), jnp.float32)
+    B = jnp.asarray(rng.integers(0, H, size=(N, M)), jnp.int32)
+    Q = jnp.asarray(rng.standard_normal((NQ, D)), jnp.float32)
+    jax.block_until_ready((C, B, Q))
+
+    bench_scan(jax, jnp, rng, C, B, Q)
+    bench_scan_codes(jax, jnp, rng, C, B, Q)
+    bench_encode(jax, jnp, rng)
 
 
 if __name__ == "__main__":

@@ -132,6 +132,11 @@ def encoding_icm(key: Array, X: Array, C: Array, B0: Array, *,
         impl = "pallas" if (on_tpu and
                             pallas_icm_supported(C.shape[0], C.shape[1],
                                                  C.shape[2])) else "xla"
+    if impl in ("pallas-ils", "pallas-ils-interpret"):
+        return _encoding_icm_pallas_ils(
+            key, X, C, B0, ilsiter=ilsiter, icmiter=icmiter,
+            npert=npert, randord=randord,
+            interpret=impl == "pallas-ils-interpret")
     if impl in ("pallas", "pallas-interpret"):
         return _encoding_icm_pallas(key, X, C, B0, ilsiter=ilsiter,
                                     icmiter=icmiter, npert=npert,
@@ -160,12 +165,17 @@ def _ils_schedule(key: Array, m: int, ilsiter: int, randord: bool):
 def _encoding_icm_pallas(key: Array, X: Array, C: Array, B0: Array, *,
                          ilsiter: int, icmiter: int, npert: int,
                          randord: bool, interpret: bool = False) -> Array:
-    """ILS wrapper (perturb / accept in XLA) around the VMEM-resident
-    Pallas sweep kernel. The kernel also emits the MRF energy of its
-    output codes, so acceptance needs no decode-based cost pass: the
-    loop carries ``(B, E(B))`` and each round costs one kernel call
-    (the |x|^2 constant cancels in comparisons; energies are the
-    bf16-model values the sweeps themselves optimize)."""
+    """ILS wrapper (perturb / accept in XLA) around the running-sum
+    Pallas sweep kernel. The kernel emits the MRF energy of its output
+    codes, so acceptance needs no decode-based cost pass: the loop
+    carries ``(B, E(B))`` and each round costs one kernel call.
+
+    Measured (1x v5e, n=2e5, ils8/icm4): per-round relaunch reaches
+    762k vecs/s at m=8 and 401k at m=16 — slightly AHEAD of the
+    single-launch `icm_pallas.encoding_ils_pallas` (0.95x, and its
+    nested-loop kernel compiles ~15 min through the remote toolchain),
+    so relaunch is the default; the one-launch kernel remains available
+    via ``encoding_icm(impl="pallas-ils")``."""
     from rayuela_tpu.ops.icm_pallas import icm_sweeps_pallas
 
     n, d = X.shape
@@ -184,6 +194,26 @@ def _encoding_icm_pallas(key: Array, X: Array, C: Array, B0: Array, *,
         return (jnp.where(keep[:, None], Bt, B), jnp.minimum(Et, E))
 
     B, _ = lax.fori_loop(0, ilsiter, ils_round, (B0, E0))
+    return B
+
+
+@partial(jax.jit, static_argnames=("ilsiter", "icmiter", "npert",
+                                   "randord", "interpret"))
+def _encoding_icm_pallas_ils(key: Array, X: Array, C: Array, B0: Array,
+                             *, ilsiter: int, icmiter: int, npert: int,
+                             randord: bool,
+                             interpret: bool = False) -> Array:
+    """Single-launch whole-ILS kernel path (see `_encoding_icm_pallas`
+    for when to prefer it — mainly launch-overhead-bound tiny n)."""
+    from rayuela_tpu.ops.icm_pallas import encoding_ils_pallas
+
+    m, h = C.shape[0], C.shape[1]
+    _, orders = _ils_schedule(key, m, ilsiter, randord)
+    seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    B, _ = encoding_ils_pallas(X, C, B0.astype(jnp.int32), orders, seed,
+                               ilsiter=ilsiter, icmiter=icmiter,
+                               npert=npert, interpret=interpret)
     return B
 
 

@@ -94,8 +94,12 @@ def test_improves_energy(rng):
 
 def test_availability_gate():
     from rayuela_tpu.ops.icm_pallas import pallas_icm_available
+    # running-sum conditioning: state is linear in m, so the protocol
+    # configs incl. the 128-bit m=15/16 ones are all VMEM-resident
     assert pallas_icm_available(8, 256, 128)
-    assert not pallas_icm_available(16, 256, 128)
+    assert pallas_icm_available(16, 256, 128)
+    assert not pallas_icm_available(8, 100, 128)    # lane tiling
+    assert not pallas_icm_available(64, 256, 128)   # VMEM
 
 
 def test_full_ils_pallas_path(rng):
@@ -116,28 +120,83 @@ def test_full_ils_pallas_path(rng):
     assert c1.mean() < 0.7 * c0.mean()
 
 
-def test_streamed_variant_matches_resident(rng):
-    """The HBM-streamed double-buffered kernel (m=15/16 path) must give
-    exactly the resident kernel's codes and energies."""
-    from rayuela_tpu.ops.icm_pallas import icm_sweeps_pallas
-    n, d, m, h = 300, 16, 4, 8
-    X = jnp.asarray(rng.integers(-1, 2, (n, d)), jnp.float32)
-    C = jnp.asarray(rng.integers(-1, 2, (m, h, d)), jnp.float32)
-    B = jnp.asarray(rng.integers(0, h, (n, m)), jnp.int32)
-    order = jnp.asarray([1, 3, 0, 2], jnp.int32)
-    Br, Er = icm_sweeps_pallas(X, C, B, order, 2, chunk=64,
-                               interpret=True)
-    Bs, Es = icm_sweeps_pallas(X, C, B, order, 2, chunk=64,
-                               interpret=True, force_streamed=True)
-    np.testing.assert_array_equal(np.asarray(Bs), np.asarray(Br))
-    np.testing.assert_allclose(np.asarray(Es), np.asarray(Er),
-                               atol=1e-3)
-
-
 def test_supported_covers_m16():
-    from rayuela_tpu.ops.icm_pallas import (pallas_icm_available,
-                                            pallas_icm_supported)
-    assert not pallas_icm_available(16, 256, 128)
+    from rayuela_tpu.ops.icm_pallas import pallas_icm_supported
     assert pallas_icm_supported(16, 256, 128)
     assert pallas_icm_supported(15, 256, 128)
     assert not pallas_icm_supported(16, 100, 128)   # lane tiling
+
+
+def test_ils_kernel_accept_invariant_and_improvement(rng):
+    """Single-launch ILS kernel: energies must be genuine bf16-model
+    energies of the returned codes, rounds must never regress, and the
+    result must substantially improve on the start."""
+    from rayuela_tpu.ops.icm_pallas import encoding_ils_pallas
+    from rayuela_tpu.ops.qerror import veccost
+    n, d, m, h = 300, 16, 4, 8
+    orders = jnp.asarray([np.random.default_rng(s).permutation(m)
+                          for s in range(4)], jnp.int32)
+    seed = jnp.asarray([[1234]], jnp.int32)
+
+    # integer-valued data: every intermediate is bf16-exact, so the
+    # emitted E must equal cost(B) - |x|^2 exactly
+    Xi = jnp.asarray(rng.integers(-1, 2, (n, d)), jnp.float32)
+    Ci = jnp.asarray(rng.integers(-1, 2, (m, h, d)), jnp.float32)
+    B0 = jnp.asarray(rng.integers(0, h, (n, m)), jnp.int32)
+    B, E = encoding_ils_pallas(Xi, Ci, B0, orders, seed, ilsiter=4,
+                               icmiter=2, npert=1, chunk=64,
+                               interpret=True)
+    ci = np.asarray(veccost(Xi, Ci, np.asarray(B)))
+    x2 = (np.asarray(Xi) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(E), ci - x2, atol=1e-3)
+
+    # Gaussian data: accept-if-better invariant + real improvement
+    # (comparisons happen in the bf16 energy model the kernel emits)
+    X = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((m, h, d)) * 0.4, jnp.float32)
+    B, E = encoding_ils_pallas(X, C, B0, orders, seed, ilsiter=4,
+                               icmiter=2, npert=1, chunk=64,
+                               interpret=True)
+    _, E0 = encoding_ils_pallas(X, C, B0, orders, seed, ilsiter=0,
+                                icmiter=2, npert=1, chunk=64,
+                                interpret=True)
+    assert (np.asarray(E) <= np.asarray(E0) + 1e-4).all()
+    c0 = np.asarray(veccost(X, C, np.asarray(B0)))
+    c1 = np.asarray(veccost(X, C, np.asarray(B)))
+    assert c1.mean() < 0.7 * c0.mean()
+
+
+def test_ils_kernel_zero_rounds_keeps_input(rng):
+    from rayuela_tpu.ops.icm_pallas import encoding_ils_pallas
+    n, d, m, h = 100, 8, 4, 8
+    X = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((m, h, d)), jnp.float32)
+    B0 = jnp.asarray(rng.integers(0, h, (n, m)), jnp.int32)
+    orders = jnp.zeros((1, m), jnp.int32)
+    B, _ = encoding_ils_pallas(X, C, B0, orders,
+                               jnp.asarray([[7]], jnp.int32),
+                               ilsiter=0, icmiter=1, npert=1, chunk=64,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(B), np.asarray(B0))
+
+
+def test_ils_kernel_matches_relaunch_wrapper_quality(rng):
+    """All three ILS backends (one-launch kernel, per-round relaunch,
+    XLA) explore different random streams but must land at
+    statistically equal quality."""
+    import jax
+    from rayuela_tpu.ops.icm import encoding_icm
+    from rayuela_tpu.ops.qerror import veccost
+    n, d, m, h = 400, 16, 4, 8
+    X = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((m, h, d)) * 0.4, jnp.float32)
+    B0 = jnp.asarray(rng.integers(0, h, (n, m)), jnp.int32)
+    kw = dict(ilsiter=4, icmiter=2, npert=1, randord=True)
+    key = jax.random.PRNGKey(0)
+    costs = []
+    for impl in ("pallas-ils-interpret", "pallas-interpret", "xla"):
+        B = encoding_icm(key, X, C, B0, impl=impl, **kw)
+        costs.append(float(veccost(X, C, np.asarray(B)).mean()))
+    ref = costs[-1]
+    for c in costs[:-1]:
+        assert abs(c - ref) / ref < 0.05, costs
