@@ -1,4 +1,4 @@
-"""TPU config sweep for the fused decoded scan (sel16 on).
+"""TPU config sweep for the fused decoded scan (pack32).
 
 Run standalone: timeout 3600 python demos/bench_scan_tune.py /tmp/tune.log
 """
@@ -36,7 +36,7 @@ def main():
     jax.block_until_ready(index.Xd)
     log("index ready")
 
-    # (k, r, bq, tile, sel16)
+    # (k, r, bq, tile, pack)
     configs = [
         (1000, 48, 128, 2048, False),   # round-1 baseline config
         (1000, 48, 128, 2048, True),
@@ -50,13 +50,13 @@ def main():
         (100, 32, 128, 4096, True),
         (100, 8, 128, 1024, True),
     ]
-    for k, r, bq, tile, sel16 in configs:
-        tag = f"k={k} r={r} bq={bq} tile={tile} sel16={sel16}"
+    for k, r, bq, tile, pack in configs:
+        tag = f"k={k} r={r} bq={bq} tile={tile} pack={pack}"
         try:
             t0 = time.perf_counter()
             out = pallas_scan_topk(Q, index.Xd, index.x2, k=k, r=r,
                                    bq=bq, tile=tile, verify=True,
-                                   sel16=sel16)
+                                   pack=pack)
             _ = np.asarray(out[0][0, :1])
             tc = time.perf_counter() - t0
             t0 = time.perf_counter()
@@ -64,7 +64,7 @@ def main():
             for _i in range(reps):
                 out = pallas_scan_topk(Q, index.Xd, index.x2, k=k, r=r,
                                        bq=bq, tile=tile, verify=True,
-                                       sel16=sel16)
+                                       pack=pack)
             jax.block_until_ready(out)
             _ = np.asarray(out[0][0, :1])
             dt = (time.perf_counter() - t0) / reps

@@ -42,8 +42,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rayuela_tpu.search.scan_pallas import (LANES, _sel_dtypes,
-                                            _select_insert, candidate_ids)
+from rayuela_tpu.search.scan_pallas import (LANES, _apply_network,
+                                            _count_below, _merge_stages,
+                                            _pack_idbits,
+                                            _packed_candidates,
+                                            _select_insert_packed,
+                                            _sort_stages, candidate_ids)
 from rayuela_tpu.utils import cdiv, splitarray
 
 Array = jax.Array
@@ -157,40 +161,82 @@ def _lut_scores(t_ref, codes_ref, *, mprime: int, h: int,
     return acc
 
 
-def _codes_scan_kernel(t_ref, codes_ref, outv_ref, outi_ref,
-                       bufv, bufi, sem, *, rows: int, r: int,
-                       ntiles: int, bq: int, mprime: int, h: int,
-                       n: int, lut_dtype):
-    t = pl.program_id(1)
+def _masked_lut_scores(t_ref, codes_ref, t, *, rows, bq, mprime, h, n,
+                       lut_dtype):
     s = _lut_scores(t_ref, codes_ref, mprime=mprime, h=h,
                     lut_dtype=lut_dtype)
     tile = rows * LANES
     gid2 = (t * tile
             + lax.broadcasted_iota(jnp.int32, (tile, bq), 0))
-    s = jnp.where(gid2 < n, s, jnp.inf)                   # mask pad rows
-    _select_insert(s, t, bufv, bufi, sem, outv_ref, outi_ref,
-                   rows=rows, r=r, ntiles=ntiles, bq=bq)
+    return jnp.where(gid2 < n, s, jnp.inf)                # mask pad rows
+
+
+def _codes_scan_kernel(t_ref, codes_ref, outv_ref, outi_ref,
+                       bufv, bufi, sem, *, rows: int, r: int,
+                       ntiles: int, bq: int, mprime: int, h: int,
+                       n: int, lut_dtype):
+    """f32+i32 mode, body kept in the round-1 inline form (see
+    `scan_pallas._scan_kernel` for why)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        bufv[:] = jnp.full(bufv.shape, jnp.inf, jnp.float32)
+        bufi[:] = jnp.zeros(bufi.shape, jnp.int32)
+
+    s = _masked_lut_scores(t_ref, codes_ref, t, rows=rows, bq=bq,
+                           mprime=mprime, h=h, n=n, lut_dtype=lut_dtype)
+    tile = rows * LANES
+    sv = s.reshape(rows, LANES, bq)
+    gid = (t * tile
+           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 0) * LANES
+           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 1))
+    sv, si = _apply_network(sv, gid, _sort_stages(rows), descending=True)
+    mv = jnp.concatenate([bufv[:], sv], axis=0)
+    mi = jnp.concatenate([bufi[:], si], axis=0)
+    mv, mi = _apply_network(mv, mi, _merge_stages(r + rows))
+    bufv[:] = mv[:r]
+    bufi[:] = mi[:r]
+
+    qb = pl.program_id(0)
+
+    @pl.when(t == ntiles - 1)
+    def _():
+        cpv = pltpu.make_async_copy(
+            bufv, outv_ref.at[:, :, pl.ds(qb * bq, bq)], sem.at[0])
+        cpi = pltpu.make_async_copy(
+            bufi, outi_ref.at[:, :, pl.ds(qb * bq, bq)], sem.at[1])
+        cpv.start()
+        cpi.start()
+        cpv.wait()
+        cpi.wait()
+
+
+def _codes_scan_kernel_packed(t_ref, codes_ref, outp_ref, bufp, sem,
+                              *, rows: int, r: int, ntiles: int,
+                              bq: int, mprime: int, h: int, n: int,
+                              lut_dtype, idbits: int):
+    t = pl.program_id(1)
+    s = _masked_lut_scores(t_ref, codes_ref, t, rows=rows, bq=bq,
+                           mprime=mprime, h=h, n=n, lut_dtype=lut_dtype)
+    _select_insert_packed(s, t, bufp, sem, outp_ref, rows=rows, r=r,
+                          ntiles=ntiles, bq=bq, idbits=idbits)
 
 
 def _codes_verify_kernel(t_ref, codes_ref, tau_ref, cnt_ref, acc,
                          *, rows: int, ntiles: int, mprime: int,
-                         h: int, n: int, lut_dtype, sel_dtype):
+                         h: int, n: int, lut_dtype, idbits: int):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         acc[:] = jnp.zeros(acc.shape, jnp.int32)
 
-    s = _lut_scores(t_ref, codes_ref, mprime=mprime, h=h,
-                    lut_dtype=lut_dtype)
-    tile = rows * LANES
-    bq = s.shape[1]
-    gid2 = t * tile + lax.broadcasted_iota(jnp.int32, (tile, bq), 0)
-    s = jnp.where(gid2 < n, s, jnp.inf)
-    sv = s.reshape(rows, LANES, bq).astype(sel_dtype)
-    tau = tau_ref[:].astype(sel_dtype)
-    hit = (sv < tau[None, :, :]).astype(jnp.int32)
-    acc[:] = acc[:] + jnp.sum(hit, axis=0)
+    bq = tau_ref.shape[1]
+    s = _masked_lut_scores(t_ref, codes_ref, t, rows=rows, bq=bq,
+                           mprime=mprime, h=h, n=n, lut_dtype=lut_dtype)
+    acc[:] = acc[:] + _count_below(s, t, tau_ref, rows=rows, bq=bq,
+                                   idbits=idbits)
 
     @pl.when(t == ntiles - 1)
     def _():
@@ -203,11 +249,11 @@ def _codes_verify_kernel(t_ref, codes_ref, tau_ref, cnt_ref, acc,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
-                              "interpret", "lut_dtype", "sel16"))
+                              "interpret", "lut_dtype", "pack"))
 def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
                            r: int = 48, bq: int = 128, tile: int = 2048,
                            verify: bool = True, interpret: bool = False,
-                           lut_dtype=jnp.bfloat16, sel16: bool = False
+                           lut_dtype=jnp.bfloat16, pack: bool = False
                            ) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k over packed codes.
 
@@ -234,7 +280,7 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
     npad = cdiv(n, tile) * tile
     nqp = cdiv(nq, bq) * bq
     ntiles, nqb = npad // tile, nqp // bq
-    seldt, idt = _sel_dtypes(sel16, npad, tile)
+    idbits = _pack_idbits(pack, npad)
 
     # Tables ship at lut_dtype (halves the per-visit T-block DMA and
     # its double-buffered VMEM in bf16 mode); codes ship transposed.
@@ -242,58 +288,76 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
     Tf = jnp.pad(Tf, ((0, 0), (0, nqp - nq)))
     PT = jnp.pad(packed, ((0, npad - n), (0, 0))).T        # (nw, npad)
 
-    kern = functools.partial(_codes_scan_kernel, rows=rows, r=r,
-                             ntiles=ntiles, bq=bq, mprime=mprime, h=h,
-                             n=n, lut_dtype=lut_dtype)
-    outv, outi = pl.pallas_call(
-        kern,
-        grid=(nqb, ntiles),
-        in_specs=[
-            pl.BlockSpec((mprime * h, bq), lambda qb, t: (0, qb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw, tile), lambda qb, t: (0, t),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((r, LANES, nqp), seldt),
-            jax.ShapeDtypeStruct((r, LANES, nqp), idt),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((r, LANES, bq), seldt),
-            pltpu.VMEM((r, LANES, bq), idt),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(Tf, PT)
-
-    cand_v = outv[:, :, :nq].astype(jnp.float32).reshape(r * LANES, nq).T
-    cand_i = candidate_ids(outi, nq, r)
+    in_specs = [
+        pl.BlockSpec((mprime * h, bq), lambda qb, t: (0, qb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nw, tile), lambda qb, t: (0, t),
+                     memory_space=pltpu.VMEM),
+    ]
     kk = min(k, n)
-    neg, loc = lax.top_k(-cand_v, kk)
-    scores = -neg
-    ids = jnp.take_along_axis(cand_i, loc, axis=1)
+
+    if idbits:
+        kern = functools.partial(_codes_scan_kernel_packed, rows=rows,
+                                 r=r, ntiles=ntiles, bq=bq,
+                                 mprime=mprime, h=h, n=n,
+                                 lut_dtype=lut_dtype, idbits=idbits)
+        outp = pl.pallas_call(
+            kern,
+            grid=(nqb, ntiles),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((r, LANES, nqp), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((r, LANES, bq), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(Tf, PT)
+        scores, ids, tau_k = _packed_candidates(outp, nq, r, kk, idbits)
+        tau = jnp.full((nqp,), jnp.iinfo(jnp.int32).min, jnp.int32)
+        tau = tau.at[:nq].set(tau_k)
+    else:
+        kern = functools.partial(_codes_scan_kernel, rows=rows, r=r,
+                                 ntiles=ntiles, bq=bq, mprime=mprime,
+                                 h=h, n=n, lut_dtype=lut_dtype)
+        outv, outi = pl.pallas_call(
+            kern,
+            grid=(nqb, ntiles),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((r, LANES, nqp), jnp.float32),
+                jax.ShapeDtypeStruct((r, LANES, nqp), jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((r, LANES, bq), jnp.float32),
+                pltpu.VMEM((r, LANES, bq), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(Tf, PT)
+        cand_v = outv[:, :, :nq].reshape(r * LANES, nq).T
+        cand_i = candidate_ids(outi, nq, r)
+        neg, loc = lax.top_k(-cand_v, kk)
+        scores = -neg
+        ids = jnp.take_along_axis(cand_i, loc, axis=1)
+        tau = jnp.full((nqp,), -jnp.inf, jnp.float32)
+        tau = tau.at[:nq].set(scores[:, kk - 1])
 
     if not verify:
         return scores, ids, jnp.zeros((nq,), bool)
 
-    tau = jnp.full((nqp,), -jnp.inf, jnp.float32)
-    tau = tau.at[:nq].set(scores[:, kk - 1])
     tau = jnp.broadcast_to(tau[None, :], (LANES, nqp))
     vkern = functools.partial(_codes_verify_kernel, rows=rows,
                               ntiles=ntiles, mprime=mprime, h=h, n=n,
-                              lut_dtype=lut_dtype, sel_dtype=seldt)
+                              lut_dtype=lut_dtype, idbits=idbits)
     cnt = pl.pallas_call(
         vkern,
         grid=(nqb, ntiles),
-        in_specs=[
-            pl.BlockSpec((mprime * h, bq), lambda qb, t: (0, qb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw, tile), lambda qb, t: (0, t),
-                         memory_space=pltpu.VMEM),
+        in_specs=in_specs + [
             pl.BlockSpec((LANES, bq), lambda qb, t: (0, qb),
                          memory_space=pltpu.VMEM),
         ],
@@ -359,23 +423,23 @@ def build_codes_index(C: Array, B: Array, *, pq: bool = False,
 def search_codes(index: CodesIndex, Q: Array, k: int, *,
                  r: int | None = None, bq: int = 128, tile: int = 2048,
                  interpret: bool = False, lut_dtype=jnp.bfloat16,
-                 sel16: bool | None = None) -> tuple[Array, Array]:
+                 pack: bool | None = None) -> tuple[Array, Array]:
     """Exact top-k (for the LUT scores) over a packed-code index:
     fused kernel + XLA LUT re-scan for flagged queries. Returns true
     squared distances for PQ/additive-with-norms conventions (adds the
-    +|q|^2 constant, like `scan_pallas.search`). ``sel16`` (default:
-    on for compiled TPU runs) selects on bf16 values + i16 row ids —
-    exact for the bf16-rounded scores."""
+    +|q|^2 constant, like `scan_pallas.search`). ``pack`` (default: on
+    for compiled TPU runs) packs (score, row id) into one uint32
+    selection key — exact for the truncated scores."""
     if r is None:
         r = 16 if k <= 512 else 48
-    if sel16 is None:
-        sel16 = not interpret
+    if pack is None:
+        pack = not interpret
     d = Q.shape[1] if index.d in (-1, None) else index.d
     T = build_luts(index.C, Q, pq=index.pq, d=d,
                    norms_cbook=index.norms_cbook)
     scores, ids, flagged = pallas_scan_codes_topk(
         T, index.packed, k=k, r=r, bq=bq, tile=tile, verify=True,
-        interpret=interpret, lut_dtype=lut_dtype, sel16=sel16)
+        interpret=interpret, lut_dtype=lut_dtype, pack=pack)
     flagged = np.asarray(flagged)
     if flagged.any():
         qidx = np.nonzero(flagged)[0]

@@ -124,33 +124,135 @@ def _apply_network(v: Array, i: Array, stages,
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _select_insert(s: Array, t, bufv, bufi, sem, outv_ref, outi_ref,
-                   *, rows: int, r: int, ntiles: int, bq: int):
-    """Shared selection tail for all scan kernels: cast the (tile, Bq)
-    f32 score block to the buffer dtype, bitonic-sort the tile rows
-    descending, merge into the per-lane running top-R buffer, and DMA
-    the buffers to HBM on the last tile.
+def _apply_network1(v: Array, stages, descending: bool = False) -> Array:
+    """Single-array variant of `_apply_network` (packed keys carry the
+    payload in their low bits, so there is no separate id array —
+    one compare + two selects per stage instead of five ops)."""
+    s = v.shape[0]
+    rest = v.shape[1:]
+    for j, k in stages:
+        nb = s // (2 * j)
+        v4 = v.reshape(nb, 2, j, *rest)
+        a, b = v4[:, 0], v4[:, 1]
+        vmin, vmax = jnp.minimum(a, b), jnp.maximum(a, b)
+        if k == 0 or 2 * j * nb <= k:        # uniform direction
+            first, second = (vmax, vmin) if descending else (vmin, vmax)
+        else:
+            blk = lax.broadcasted_iota(
+                jnp.int32, (nb, 1) + (1,) * len(rest), 0)
+            up = ((blk * (2 * j)) & k) == 0
+            if descending:
+                up = jnp.logical_not(up)
+            first = jnp.where(up, vmin, vmax)
+            second = jnp.where(up, vmax, vmin)
+        v = jnp.stack([first, second], axis=1).reshape(s, *rest)
+    return v
 
-    Buffer dtypes come from the scratch allocations: f32 values + i32
-    global ids (exact mode), or bf16 values + i16 per-lane ROW ids
-    (``sel16`` mode — half the VPU byte traffic and buffer VMEM; f32→
-    bf16 rounding is monotone, so the strict-below verification count
-    still certifies the bf16-ranked top-k exactly). Row ids encode
-    ``t*rows + row``; the host reconstructs ``gid = rowid*128 + lane``.
-    """
-    idt = bufi.dtype
+
+def _sortable_key(s: Array) -> Array:
+    """f32 → int32 whose SIGNED order equals the float order: flip the
+    lower 31 bits of negatives (positives are their own key). Signed,
+    not unsigned, on purpose — Mosaic has no ``arith.minui``/unsigned
+    vector compares, but int32 min/max lower fine. Monotone, so
+    truncating low bits (floor in signed space) is monotone too."""
+    bits = lax.bitcast_convert_type(s, jnp.int32)
+    return jnp.where(bits >= 0, bits, bits ^ jnp.int32(0x7FFFFFFF))
+
+
+def _unsortable_key(k: Array) -> Array:
+    """Inverse of `_sortable_key` (int32 keys → f32)."""
+    bits = jnp.where(k >= 0, k, k ^ jnp.int32(0x7FFFFFFF))
+    return lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int) -> Array:
+    """Packed selection key for a (tile, Bq) f32 score block: the top
+    32-idbits bits of the sortable value, low ``idbits`` bits the
+    per-lane row id (gid = rowid*128 + lane). Keys are UNIQUE per
+    (lane, query), so the packed order is total — no ties anywhere in
+    the selection or its certificate."""
+    sv = s.reshape(rows, LANES, bq)
+    # gid spelled with both iotas on purpose: the dim0-only form
+    # (t*rows + iota0) SIGABRTs the Mosaic compiler on this toolchain.
+    tile = rows * LANES
+    gid = (t * tile
+           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 0) * LANES
+           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 1))
+    rid = lax.shift_right_logical(gid, 7)             # // LANES, i32
+    key = _sortable_key(sv)
+    vmask = jnp.int32(-(1 << idbits))                 # low idbits zero
+    return (key & vmask) | rid
+
+
+def _select_insert_packed(s: Array, t, bufp, sem, outp_ref,
+                          *, rows: int, r: int, ntiles: int, bq: int,
+                          idbits: int):
+    """pack32 selection tail: bitonic-sort the tile rows' packed keys
+    descending, merge into the per-lane running top-R key buffer, DMA
+    it to HBM on the last tile.
+
+    Each element is ONE int32 key — signed-sortable score top bits |
+    per-lane row id low bits. Signed order == (truncated score, row id)
+    lexicographic, a TOTAL order with no ties; one compare + two
+    selects per network stage instead of five ops, at half the bytes.
+    The verification count compares in the same packed space, so
+    exactness (for the truncated-score ranking) is certified
+    identically. Hosts reconstruct ``gid = rowid*128 + lane``."""
+    @pl.when(t == 0)
+    def _():
+        bufp[:] = jnp.full(bufp.shape, jnp.iinfo(jnp.int32).max,
+                           jnp.int32)
+
+    kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits)
+    kv = _apply_network1(kv, _sort_stages(rows), descending=True)
+    mv = jnp.concatenate([bufp[:], kv], axis=0)
+    mv = _apply_network1(mv, _merge_stages(r + rows))
+    bufp[:] = mv[:r]
+
+    qb = pl.program_id(0)
+
+    @pl.when(t == ntiles - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            bufp, outp_ref.at[:, :, pl.ds(qb * bq, bq)], sem.at[0])
+        cp.start()
+        cp.wait()
+
+
+def _distance_block(qt_ref, x_ref, x2_ref):
+    """(tile, Bq) squared distances, up to the per-query |q|^2 term."""
+    return -2.0 * lax.dot_general(
+        x_ref[:], qt_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + x2_ref[:]
+
+
+def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
+                 bufv, bufi, sem, *, rows: int, r: int, ntiles: int,
+                 bq: int):
+    """One (query-block, tile) step: MXU distance block + bitonic
+    insert into the per-lane running top-R buffer (f32 + i32 global
+    ids — the exact-float-order mode, kept VERBATIM from round 1: the
+    shared-helper refactor of this body compiled to a 17.8 MB scoped
+    VMEM footprint at r=48 vs 16 MB for this form, for no discernible
+    semantic difference; packed mode lives in `_select_insert_packed`).
+
+    Layout: everything selection-related is (slots, 128 lanes, Bq) so
+    the sort axis is the leading batch axis (see `_apply_network`)."""
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        bufv[:] = jnp.full(bufv.shape, jnp.inf, bufv.dtype)
-        bufi[:] = jnp.zeros(bufi.shape, idt)
+        bufv[:] = jnp.full(bufv.shape, jnp.inf, jnp.float32)
+        bufi[:] = jnp.zeros(bufi.shape, jnp.int32)
 
-    sv = s.reshape(rows, LANES, bq).astype(bufv.dtype)
-    rid = (t * rows
-           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 0)
-           ).astype(idt)
+    s = _distance_block(qt_ref, x_ref, x2_ref)
+    tile, bq = s.shape
+    sv = s.reshape(rows, LANES, bq)
+    gid = (t * tile
+           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 0) * LANES
+           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 1))
 
-    sv, si = _apply_network(sv, rid, _sort_stages(rows), descending=True)
+    sv, si = _apply_network(sv, gid, _sort_stages(rows), descending=True)
 
     # buffer (R asc) ++ tile rows sorted desc = bitonic sequence
     mv = jnp.concatenate([bufv[:], sv], axis=0)
@@ -160,8 +262,6 @@ def _select_insert(s: Array, t, bufv, bufi, sem, outv_ref, outi_ref,
     bufi[:] = mi[:r]
 
     # Outputs live in HBM (pl.ANY): DMA the final buffers out directly.
-    # Keeping them out of VMEM block space saves ~8 MB, which is what
-    # lets (bq=128, r=32, tile=4096) fit the 16 MB budget.
     qb = pl.program_id(0)
 
     @pl.when(t == ntiles - 1)
@@ -176,44 +276,46 @@ def _select_insert(s: Array, t, bufv, bufi, sem, outv_ref, outi_ref,
         cpi.wait()
 
 
-def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
-                 bufv, bufi, sem, *, rows: int, r: int, ntiles: int,
-                 bq: int):
-    """One (query-block, tile) step: MXU distance block + bitonic
-    insert into the per-lane running top-R buffer.
-
-    Layout: everything selection-related is (slots, 128 lanes, Bq) so
-    the sort axis is the leading batch axis (see `_apply_network`)."""
+def _scan_kernel_packed(qt_ref, x_ref, x2_ref, outp_ref, bufp, sem,
+                        *, rows: int, r: int, ntiles: int, bq: int,
+                        idbits: int):
+    """pack32 variant: one int32 (value|rowid) key per element."""
     t = pl.program_id(1)
-    # (tile, Bq) squared distances, up to the per-query |q|^2 constant
-    s = -2.0 * lax.dot_general(
-        x_ref[:], qt_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + x2_ref[:]
-    _select_insert(s, t, bufv, bufi, sem, outv_ref, outi_ref,
-                   rows=rows, r=r, ntiles=ntiles, bq=bq)
+    s = _distance_block(qt_ref, x_ref, x2_ref)
+    _select_insert_packed(s, t, bufp, sem, outp_ref, rows=rows, r=r,
+                          ntiles=ntiles, bq=bq, idbits=idbits)
+
+
+def _count_below(s: Array, t, tau_ref, *, rows: int, bq: int,
+                 idbits: int) -> Array:
+    """(LANES, Bq) count of elements strictly below tau, compared in
+    the same space the scan kernel selected in: raw f32 scores
+    (idbits=0) or packed uint32 keys (pack32 mode — the packed order
+    is total, so the certificate has no tie cases at all)."""
+    if idbits:
+        kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits)
+        hit = (kv < tau_ref[:][None, :, :]).astype(jnp.int32)
+    else:
+        sv = s.reshape(rows, LANES, bq)
+        hit = (sv < tau_ref[:][None, :, :]).astype(jnp.int32)
+    return jnp.sum(hit, axis=0)
 
 
 def _verify_kernel(qt_ref, x_ref, x2_ref, tau_ref, cnt_ref, acc,
-                   *, rows: int, ntiles: int, sel_dtype):
+                   *, rows: int, ntiles: int, idbits: int):
     """Count, per (query, lane), scores strictly below the global k-th
-    value tau. The per-lane buffer holds each lane's exact top-R (in
-    ``sel_dtype`` ordering — the count compares in the same dtype, and
-    f32→bf16 rounding is monotone), so the final top-k is exact iff no
-    lane has more than R scores < tau."""
+    selection key tau. The per-lane buffer holds each lane's exact
+    top-R in the selection order, so the final top-k is exact iff no
+    lane has more than R entries below tau."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         acc[:] = jnp.zeros(acc.shape, jnp.int32)
 
-    s = -2.0 * lax.dot_general(
-        x_ref[:], qt_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + x2_ref[:]
-    tile, bq = s.shape
-    sv = s.reshape(rows, LANES, bq).astype(sel_dtype)
-    tau = tau_ref[:].astype(sel_dtype)
-    hit = (sv < tau[None, :, :]).astype(jnp.int32)
-    acc[:] = acc[:] + jnp.sum(hit, axis=0)
+    s = _distance_block(qt_ref, x_ref, x2_ref)
+    acc[:] = acc[:] + _count_below(s, t, tau_ref, rows=rows,
+                                   bq=s.shape[1], idbits=idbits)
 
     @pl.when(t == ntiles - 1)
     def _():
@@ -231,29 +333,47 @@ def _pad2(x, r0, r1, fill=0.0):
     return jnp.pad(x, ((0, p0), (0, p1)), constant_values=fill)
 
 
-def _sel_dtypes(sel16: bool, npad: int, tile: int):
-    """Selection dtypes: (value dtype, row-id dtype). ``sel16`` keeps
-    bf16 values + i16 per-lane row ids when the row-id range fits."""
-    rowmax = (npad // tile) * (tile // LANES)
-    if sel16 and rowmax <= 32767:
-        return jnp.bfloat16, jnp.int16
-    return (jnp.bfloat16 if sel16 else jnp.float32), jnp.int32
+def _pack_idbits(pack: bool, npad: int) -> int:
+    """Packed-mode row-id width (0 = packed mode off). Row ids span
+    npad/128 values; cap at 16 bits (n <= 8.4M — beyond that the
+    truncated value bits get too coarse; shard or stream instead)."""
+    if not pack:
+        return 0
+    rowmax = npad // LANES
+    idbits = max(1, (rowmax - 1).bit_length())
+    return idbits if idbits <= 16 else 0
+
+
+def _packed_candidates(outp, nq: int, r: int, k: int, idbits: int):
+    """Packed key buffer → (trunc scores (nq,k), gids (nq,k),
+    tau (nq,) packed boundary keys), ranked by the packed total
+    order."""
+    lane = jnp.arange(LANES, dtype=jnp.int32)
+    keys3 = outp[:, :, :nq]
+    gid3 = (keys3 & jnp.int32((1 << idbits) - 1)) * LANES \
+        + lane[None, :, None]
+    keys = keys3.reshape(r * LANES, nq).T
+    gids = gid3.reshape(r * LANES, nq).T
+    order = jnp.argsort(keys, axis=1)[:, :k]
+    skeys = jnp.take_along_axis(keys, order, axis=1)
+    ids = jnp.take_along_axis(gids, order, axis=1)
+    vals = _unsortable_key(skeys & jnp.int32(-(1 << idbits)))
+    return vals, ids, skeys[:, k - 1]
 
 
 def candidate_ids(outi: Array, nq: int, r: int) -> Array:
-    """Row-id buffer (r, LANES, nqp) → global-id candidates (nq, rL)."""
-    lane = jnp.arange(LANES, dtype=jnp.int32)
-    gid = outi[:, :, :nq].astype(jnp.int32) * LANES + lane[None, :, None]
-    return gid.reshape(r * LANES, nq).T
+    """f32-mode id buffer (r, LANES, nqp) of FULL global ids →
+    (nq, rL) candidate matrix."""
+    return outi[:, :, :nq].reshape(r * LANES, nq).T
 
 
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
-                              "interpret", "sel16"))
+                              "interpret", "pack"))
 def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
                      r: int = 48, bq: int = 128, tile: int = 2048,
                      verify: bool = True, interpret: bool = False,
-                     sel16: bool = False
+                     pack: bool = False
                      ) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k ADC scan over a decoded base.
 
@@ -264,11 +384,12 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
       k: neighbors (must be <= r * 128).
       r: per-lane buffer depth; the exactness check is count <= r.
       verify: run the counting kernel; returns per-query overflow flags.
-      sel16: run selection on bf16 values + i16 row ids (half the VPU
-        byte traffic and buffer VMEM). The result is the exact top-k of
-        the BF16-ROUNDED scores — a deterministic ranking the verify
-        count certifies in the same dtype (rounding is monotone);
-        returned distances are bf16-precise (~3 decimal digits).
+      pack: pack32 selection — each element is ONE uint32
+        (sortable-score top bits | row id low bits), a TOTAL order
+        with ~2.5x less selection work. The result is the exact top-k
+        of the TRUNCATED scores (19 value bits at SIFT1M size — finer
+        than bf16), certified by the same per-lane count in packed
+        space; returned distances carry the truncation.
 
     Returns ``(dists (nq, k), ids (nq, k), flagged (nq,) bool)``.
     Flagged queries must be re-run via the exact XLA path (done by
@@ -288,70 +409,87 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
     npad = cdiv(n, tile) * tile
     nqp = cdiv(nq, bq) * bq
     ntiles, nqb = npad // tile, nqp // bq
-    seldt, idt = _sel_dtypes(sel16, npad, tile)
+    idbits = _pack_idbits(pack, npad)
 
     QT = _pad2(Q, nqp, dp).T                         # (dp, nqp)
     Xp = _pad2(Xd, npad, dp)
     x2p = jnp.pad(x2.reshape(-1, 1), ((0, npad - n), (0, 0)),
                   constant_values=jnp.inf)
 
-    kern = functools.partial(_scan_kernel, rows=rows, r=r,
-                             ntiles=ntiles, bq=bq)
-    outv, outi = pl.pallas_call(
-        kern,
-        grid=(nqb, ntiles),
-        in_specs=[
-            pl.BlockSpec((dp, bq), lambda qb, t: (0, qb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, dp), lambda qb, t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda qb, t: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((r, LANES, nqp), seldt),
-            jax.ShapeDtypeStruct((r, LANES, nqp), idt),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((r, LANES, bq), seldt),
-            pltpu.VMEM((r, LANES, bq), idt),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(QT, Xp, x2p)
-
-    # exact top-k among the r*128 candidates (small, fast in XLA)
-    cand_v = outv[:, :, :nq].astype(jnp.float32).reshape(r * LANES, nq).T
-    cand_i = candidate_ids(outi, nq, r)
+    in_specs = [
+        pl.BlockSpec((dp, bq), lambda qb, t: (0, qb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, dp), lambda qb, t: (t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda qb, t: (t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     kk = min(k, n)
-    neg, loc = lax.top_k(-cand_v, kk)
-    dists = -neg + jnp.sum(Q * Q, axis=-1, keepdims=True)
-    ids = jnp.take_along_axis(cand_i, loc, axis=1)
+    q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
+
+    if idbits:
+        kern = functools.partial(_scan_kernel_packed, rows=rows, r=r,
+                                 ntiles=ntiles, bq=bq, idbits=idbits)
+        outp = pl.pallas_call(
+            kern,
+            grid=(nqb, ntiles),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((r, LANES, nqp), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((r, LANES, bq), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(QT, Xp, x2p)
+        vals, ids, tau_k = _packed_candidates(outp, nq, r, kk, idbits)
+        dists = vals + q2
+        # pad queries: INT32_MIN so nothing counts below them
+        tau = jnp.full((nqp,), jnp.iinfo(jnp.int32).min, jnp.int32)
+        tau = tau.at[:nq].set(tau_k)
+    else:
+        kern = functools.partial(_scan_kernel, rows=rows, r=r,
+                                 ntiles=ntiles, bq=bq)
+        outv, outi = pl.pallas_call(
+            kern,
+            grid=(nqb, ntiles),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((r, LANES, nqp), jnp.float32),
+                jax.ShapeDtypeStruct((r, LANES, nqp), jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((r, LANES, bq), jnp.float32),
+                pltpu.VMEM((r, LANES, bq), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(QT, Xp, x2p)
+        # exact top-k among the r*128 candidates (small, fast in XLA)
+        cand_v = outv[:, :, :nq].reshape(r * LANES, nq).T
+        cand_i = candidate_ids(outi, nq, r)
+        neg, loc = lax.top_k(-cand_v, kk)
+        dists = -neg + q2
+        ids = jnp.take_along_axis(cand_i, loc, axis=1)
+        # k-th value per query in kernel-score space; padded queries
+        # get -inf so they never flag
+        tau = jnp.full((nqp,), -jnp.inf, jnp.float32)
+        tau = tau.at[:nq].set(-neg[:, kk - 1])
 
     if not verify:
         return dists, ids, jnp.zeros((nq,), bool)
 
-    # global k-th value per query, in kernel-score space (no |q|^2);
-    # padded queries get -inf so they never flag
-    tau = jnp.full((nqp,), -jnp.inf, jnp.float32)
-    tau = tau.at[:nq].set(-neg[:, kk - 1])
     tau = jnp.broadcast_to(tau[None, :], (LANES, nqp))
     vkern = functools.partial(_verify_kernel, rows=rows, ntiles=ntiles,
-                              sel_dtype=seldt)
+                              idbits=idbits)
     cnt = pl.pallas_call(
         vkern,
         grid=(nqb, ntiles),
-        in_specs=[
-            pl.BlockSpec((dp, bq), lambda qb, t: (0, qb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, dp), lambda qb, t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda qb, t: (t, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=in_specs + [
             pl.BlockSpec((LANES, bq), lambda qb, t: (0, qb),
                          memory_space=pltpu.VMEM),
         ],
@@ -387,7 +525,7 @@ def build_index(C: Array, B: Array, *, pq: bool = False,
 
 def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
            bq: int = 128, tile: int = 2048, interpret: bool = False,
-           sel16: bool | None = None) -> tuple[Array, Array]:
+           pack: bool | None = None) -> tuple[Array, Array]:
     """Exact top-k search: Pallas fast path + XLA re-run for any query
     the verification kernel flags (host-side check, so shapes stay
     static under jit).
@@ -397,16 +535,17 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     occupancy k/128 stays far below r; overflows are caught by the
     verification kernel and re-run exactly either way).
 
-    ``sel16`` (default: on for compiled TPU runs) runs the selection
-    networks on bf16 values + i16 row ids — the result is then the
-    exact top-k of the bf16-rounded scores (see `pallas_scan_topk`)."""
+    ``pack`` (default: on for compiled TPU runs) packs (score, row id)
+    into one uint32 selection key — ~2.5x less selection work; the
+    result is the exact top-k of the 19-bit-truncated scores (see
+    `pallas_scan_topk`)."""
     if r is None:
         r = 16 if k <= 512 else 48
-    if sel16 is None:
-        sel16 = not interpret
+    if pack is None:
+        pack = not interpret
     dists, ids, flagged = pallas_scan_topk(
         Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
-        verify=True, interpret=interpret, sel16=sel16)
+        verify=True, interpret=interpret, pack=pack)
     flagged = np.asarray(flagged)
     if flagged.any():
         from rayuela_tpu.search.linscan import exact_rescan

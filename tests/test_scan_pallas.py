@@ -124,35 +124,61 @@ def test_search_streamed_matches_single_shot(rng):
                                rtol=1e-4, atol=1e-3)
 
 
-def test_sel16_exact_on_bf16_representable_data(rng):
-    """bf16-value selection: on small-integer data every distance is
-    bf16-exact, so the top-k VALUES must equal brute force exactly
-    (ids may permute among genuinely tied distances)."""
+def test_pack32_exact_on_coarse_data(rng):
+    """Packed selection: on small-integer data every distance fits the
+    truncated value bits exactly, so the top-k VALUES must equal brute
+    force (ids may permute among genuinely tied distances)."""
     nq, n, d, k = 8, 3000, 8, 40
     Q = rng.integers(-1, 2, (nq, d)).astype(np.float32)
     Xd = rng.integers(-1, 2, (n, d)).astype(np.float32)
     dists, ids, flagged = run(Q, Xd, k=k, r=24, bq=8, tile=1024,
-                              sel16=True)
+                              pack=True)
     ref_d, _ = brute(Q, Xd, k)
     dists, ids = np.asarray(dists), np.asarray(ids)
     np.testing.assert_allclose(dists[~np.asarray(flagged)],
                                ref_d[~np.asarray(flagged)], atol=1e-4)
-    # returned ids really score their reported distances
+    # returned ids really score their reported (truncated) distances
     D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
     picked = np.take_along_axis(D, ids, axis=1)
     np.testing.assert_allclose(picked, dists, atol=1e-4)
 
 
-def test_sel16_gaussian_within_bf16_tolerance(rng):
-    """On Gaussian data sel16 returns the exact top-k of the
-    bf16-rounded scores — true distances of returned ids must be
-    within bf16 rounding of the true top-k curve."""
+def test_pack32_gaussian_within_truncation(rng):
+    """On Gaussian data pack32 returns the exact top-k of the
+    truncated scores — true distances of returned ids must be within
+    the ~2^-10 relative truncation of the true top-k curve, and ids
+    must be valid."""
     nq, n, d, k = 6, 5000, 32, 50
     Q = rng.standard_normal((nq, d)).astype(np.float32)
     Xd = rng.standard_normal((n, d)).astype(np.float32)
     dists, ids, flagged = run(Q, Xd, k=k, r=24, bq=8, tile=1024,
-                              sel16=True)
+                              pack=True)
+    ids = np.asarray(ids)
+    assert (ids >= 0).all() and (ids < n).all()
+    # no duplicate ids per query (packed keys are unique)
+    for q in range(nq):
+        assert len(set(ids[q])) == k
     ref_d, _ = brute(Q, Xd, k)
     D = ((Q[:, None, :].astype(np.float64) - Xd[None]) ** 2).sum(-1)
-    picked = np.take_along_axis(D, np.asarray(ids), axis=1)
-    np.testing.assert_allclose(picked, ref_d, rtol=2e-2, atol=1e-2)
+    picked = np.take_along_axis(D, ids, axis=1)
+    np.testing.assert_allclose(picked, ref_d, rtol=3e-3, atol=3e-3)
+    # reported dists are lower-bound truncations of the true distances
+    dd = np.asarray(dists)
+    assert (dd <= picked + 1e-3).all()
+
+
+def test_pack32_key_roundtrip(rng):
+    """Host-side sortable-key transform is an order isomorphism."""
+    import jax.numpy as jnp
+    from rayuela_tpu.search.scan_pallas import (_sortable_key,
+                                                _unsortable_key)
+    x = np.concatenate([rng.standard_normal(100) * 100,
+                        [0.0, -0.0, 1e-30, -1e-30, 3e38, -3e38]])
+    x = x.astype(np.float32)
+    k = np.asarray(_sortable_key(jnp.asarray(x)))
+    # unsigned key order refines the float order (-0.0 < +0.0 is the
+    # only refinement); sorting by key must sort the floats
+    xs = x[np.argsort(k)]
+    assert (np.diff(xs) >= 0).all()
+    np.testing.assert_array_equal(
+        np.asarray(_unsortable_key(jnp.asarray(k))), x)
