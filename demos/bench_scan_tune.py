@@ -33,28 +33,27 @@ def main():
     B = jnp.asarray(rng.integers(0, H, size=(N, M)), jnp.int32)
     Q = jnp.asarray(rng.standard_normal((NQ, D)), jnp.float32)
     index = build_index(C, B, pq=True, d=D)
-    jax.block_until_ready(index.Xd)
+    index16 = build_index(C, B, pq=True, d=D, dtype=jnp.bfloat16)
+    jax.block_until_ready((index.Xd, index16.Xd))
     log("index ready")
 
     # (k, r, bq, tile, pack)
-    configs = [
+    import json
+    configs = json.loads(sys.argv[2]) if len(sys.argv) > 2 else [
         (1000, 48, 128, 2048, False),   # round-1 baseline config
         (1000, 48, 128, 2048, True),
-        (1000, 48, 256, 2048, True),
         (1000, 32, 128, 4096, True),
-        (1000, 112, 128, 2048, True),
         (100, 16, 128, 2048, False),
-        (100, 16, 128, 2048, True),
-        (100, 16, 256, 2048, True),
         (100, 16, 512, 2048, True),
-        (100, 32, 128, 4096, True),
-        (100, 8, 128, 1024, True),
     ]
-    for k, r, bq, tile, pack in configs:
-        tag = f"k={k} r={r} bq={bq} tile={tile} pack={pack}"
+    for cfg in configs:
+        k, r, bq, tile, pack = cfg[:5]
+        idx = index16 if (len(cfg) > 5 and cfg[5]) else index
+        tag = (f"k={k} r={r} bq={bq} tile={tile} pack={pack}"
+               + (" bf16x" if idx is index16 else ""))
         try:
             t0 = time.perf_counter()
-            out = pallas_scan_topk(Q, index.Xd, index.x2, k=k, r=r,
+            out = pallas_scan_topk(Q, idx.Xd, idx.x2, k=k, r=r,
                                    bq=bq, tile=tile, verify=True,
                                    pack=pack)
             _ = np.asarray(out[0][0, :1])
@@ -62,7 +61,7 @@ def main():
             t0 = time.perf_counter()
             reps = 3
             for _i in range(reps):
-                out = pallas_scan_topk(Q, index.Xd, index.x2, k=k, r=r,
+                out = pallas_scan_topk(Q, idx.Xd, idx.x2, k=k, r=r,
                                        bq=bq, tile=tile, verify=True,
                                        pack=pack)
             jax.block_until_ready(out)

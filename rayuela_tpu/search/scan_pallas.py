@@ -411,7 +411,10 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
     ntiles, nqb = npad // tile, nqp // bq
     idbits = _pack_idbits(pack, npad)
 
-    QT = _pad2(Q, nqp, dp).T                         # (dp, nqp)
+    # A bf16 index halves the X-tile DMA and doubles MXU rate; match
+    # the query operand so the distance matmul is single-dtype
+    # (f32 accumulation either way).
+    QT = _pad2(Q, nqp, dp).astype(Xd.dtype).T        # (dp, nqp)
     Xp = _pad2(Xd, npad, dp)
     x2p = jnp.pad(x2.reshape(-1, 1), ((0, npad - n), (0, 0)),
                   constant_values=jnp.inf)
@@ -523,26 +526,49 @@ def build_index(C: Array, B: Array, *, pq: bool = False,
     return LinscanIndex(Xd, x2)
 
 
+def _auto_config(k: int, nq: int, pack: bool):
+    """Measured-best (r, bq, tile) per k class (1x v5e sweep,
+    demos/bench_scan_tune.py, 2026-08-17): shallow tiles + wide query
+    blocks win — packed keys halve buffer VMEM, which is what makes
+    the wide-bq configs compile. k=100: 40.8k qps at (8, 1024, 1024);
+    k=1000: 18.8k at (24, 256, 1024); r+tile/128 must be a power of
+    two. f32 mode keeps the round-1 configs (its buffers are 2x)."""
+    if not pack:
+        return (16 if k <= 512 else 48), 128, 2048
+    if k <= 512:
+        r, bq = 8, 1024
+    elif k <= 24 * LANES:
+        r, bq = 24, 256
+    else:
+        r, bq = 56, 128
+    # don't pad tiny query batches up to a huge block
+    bqnq = max(128, 1 << (nq - 1).bit_length())
+    return r, min(bq, bqnq), 1024
+
+
 def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
-           bq: int = 128, tile: int = 2048, interpret: bool = False,
+           bq: int | None = None, tile: int | None = None,
+           interpret: bool = False,
            pack: bool | None = None) -> tuple[Array, Array]:
     """Exact top-k search: Pallas fast path + XLA re-run for any query
     the verification kernel flags (host-side check, so shapes stay
     static under jit).
 
-    ``r`` (per-lane buffer depth) auto-sizes from k: shallow buffers
-    roughly halve the bitonic work for k <= 512 (expected per-lane
-    occupancy k/128 stays far below r; overflows are caught by the
-    verification kernel and re-run exactly either way).
+    ``r``/``bq``/``tile`` default to the measured-best configuration
+    for the k class (`_auto_config`); overflows beyond the per-lane
+    buffer depth are caught by the verification kernel and re-run
+    exactly either way.
 
     ``pack`` (default: on for compiled TPU runs) packs (score, row id)
-    into one uint32 selection key — ~2.5x less selection work; the
-    result is the exact top-k of the 19-bit-truncated scores (see
-    `pallas_scan_topk`)."""
-    if r is None:
-        r = 16 if k <= 512 else 48
+    into one int32 selection key — less selection work and half the
+    buffer VMEM; the result is the exact top-k of the truncated scores
+    (see `pallas_scan_topk`)."""
     if pack is None:
         pack = not interpret
+    ar, abq, atile = _auto_config(k, Q.shape[0], pack)
+    r = ar if r is None else r
+    bq = abq if bq is None else bq
+    tile = atile if tile is None else tile
     dists, ids, flagged = pallas_scan_topk(
         Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
         verify=True, interpret=interpret, pack=pack)
