@@ -72,13 +72,15 @@ def bench_scan(jax, jnp, rng, C, B, Q):
 
     for knn, name in ((KNN, "adc_scan_qps_sift1m_m8_knn1000"),
                       (100, "adc_scan_qps_sift1m_m8_knn100")):
-        out = do_search(index, Q[:QCHUNK], knn)       # compile/warm
+        # one call over all queries: the per-chunk host sync for the
+        # exactness-flag check costs an axon round-trip per chunk
+        # (measured ~2x at QCHUNK=2000)
+        out = do_search(index, Q, knn)                # compile/warm
         _ = np.asarray(out[0][0, :1])
         t0 = time.perf_counter()
-        outs = [do_search(index, Q[s:s + QCHUNK], knn)
-                for s in range(0, NQ, QCHUNK)]
-        jax.block_until_ready(outs)
-        _ = np.asarray(outs[-1][0][0, 0])
+        out = do_search(index, Q, knn)
+        jax.block_until_ready(out)
+        _ = np.asarray(out[0][0, 0])
         qps = NQ / (time.perf_counter() - t0)
         emit(name, qps, "queries/s", qps / SCAN_BASELINE_QPS)
     del index
@@ -91,17 +93,16 @@ def bench_scan_codes(jax, jnp, rng, C, B, Q):
     idx = build_codes_index(C, B, pq=True, d=D)
     jax.block_until_ready(idx.packed)
     try:
-        out = search_codes(idx, Q[:QCHUNK], KNN)
+        out = search_codes(idx, Q, KNN)
         _ = np.asarray(out[0][0, :1])
     except Exception as e:
         print(f"# codes-resident path unavailable "
               f"({type(e).__name__}: {e})", flush=True)
         return
     t0 = time.perf_counter()
-    outs = [search_codes(idx, Q[s:s + QCHUNK], KNN)
-            for s in range(0, NQ, QCHUNK)]
-    jax.block_until_ready(outs)
-    _ = np.asarray(outs[-1][0][0, 0])
+    out = search_codes(idx, Q, KNN)
+    jax.block_until_ready(out)
+    _ = np.asarray(out[0][0, 0])
     qps = NQ / (time.perf_counter() - t0)
     emit("codes_scan_qps_sift1m_m8_knn1000", qps, "queries/s",
          qps / SCAN_BASELINE_QPS)

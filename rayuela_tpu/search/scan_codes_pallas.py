@@ -421,19 +421,28 @@ def build_codes_index(C: Array, B: Array, *, pq: bool = False,
 
 
 def search_codes(index: CodesIndex, Q: Array, k: int, *,
-                 r: int | None = None, bq: int = 128, tile: int = 2048,
-                 interpret: bool = False, lut_dtype=jnp.bfloat16,
+                 r: int | None = None, bq: int | None = None,
+                 tile: int | None = None, interpret: bool = False,
+                 lut_dtype=jnp.bfloat16,
                  pack: bool | None = None) -> tuple[Array, Array]:
     """Exact top-k (for the LUT scores) over a packed-code index:
     fused kernel + XLA LUT re-scan for flagged queries. Returns true
     squared distances for PQ/additive-with-norms conventions (adds the
     +|q|^2 constant, like `scan_pallas.search`). ``pack`` (default: on
-    for compiled TPU runs) packs (score, row id) into one uint32
-    selection key — exact for the truncated scores."""
-    if r is None:
-        r = 16 if k <= 512 else 48
+    for compiled TPU runs) packs (score, row id) into one int32
+    selection key — exact for the truncated scores.
+
+    ``r``/``bq``/``tile`` default to the measured-best configuration
+    (1x v5e sweep, demos/bench_codes_tune.py, 2026-08-17: knn=1000
+    11.1k qps at (24, 256, 1024), knn=100 15.9k at (8, 512, 1024);
+    bq=1024 exceeds VMEM here — the LUT block scales with bq)."""
+    from rayuela_tpu.search.scan_pallas import _auto_config
     if pack is None:
         pack = not interpret
+    ar, abq, atile = _auto_config(k, Q.shape[0], pack)
+    r = ar if r is None else r
+    bq = min(abq, 512) if bq is None else bq
+    tile = atile if tile is None else tile
     d = Q.shape[1] if index.d in (-1, None) else index.d
     T = build_luts(index.C, Q, pq=index.pq, d=d,
                    norms_cbook=index.norms_cbook)
