@@ -354,9 +354,11 @@ def _packed_candidates(outp, nq: int, r: int, k: int, idbits: int):
         + lane[None, :, None]
     keys = keys3.reshape(r * LANES, nq).T
     gids = gid3.reshape(r * LANES, nq).T
-    order = jnp.argsort(keys, axis=1)[:, :k]
-    skeys = jnp.take_along_axis(keys, order, axis=1)
-    ids = jnp.take_along_axis(gids, order, axis=1)
+    # partial selection, not a full argsort (measured: argsort over
+    # (1e4, 3072) keys dominated the whole scan call)
+    neg, loc = lax.top_k(-keys, k)
+    skeys = -neg
+    ids = jnp.take_along_axis(gids, loc, axis=1)
     vals = _unsortable_key(skeys & jnp.int32(-(1 << idbits)))
     return vals, ids, skeys[:, k - 1]
 
