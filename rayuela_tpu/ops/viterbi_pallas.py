@@ -59,11 +59,10 @@ def _viterbi_kernel(xt_ref, cflat_ref, c2_ref, bin_ref, out_ref,
 
     fstack[0] = unary(0)                                  # (h, bc)
     for i in range(m - 1):
-        f_prev = fstack[i]
-
-        def ablock(a0, acc):
-            # cand[a, b, v] = f_prev[a0+a, v] + bin_i[a0+a, b]
-            fa = lax.dynamic_slice_in_dim(f_prev, a0 * ABLK, ABLK, 0)
+        def ablock(a0, acc, i=i):
+            # cand[a, b, v] = f_i[a0+a, v] + bin_i[a0+a, b]; slices go
+            # through the REFS (Mosaic has no dynamic_slice on values)
+            fa = fstack[i, pl.ds(a0 * ABLK, ABLK), :]     # (ABLK, bc)
             ba = bin_ref[i, pl.ds(a0 * ABLK, ABLK), :]    # (ABLK, h)
             cand = fa[:, None, :] + ba[:, :, None]        # (ABLK, h, bc)
             return jnp.minimum(acc, jnp.min(cand, axis=0))
