@@ -8,9 +8,15 @@ objective) and `smac/test_lsq.jl`: optimize
 configuration does equal ICM work (`smac/configure.py:46`).
 
 The reference shells out to the SMAC3 Python package through pyjulia;
-here the optimizer is self-contained: random search plus a simple
-surrogate-free "halving" refinement (top quartile re-evaluated on more
-trials). No external dependency, identical protocol surface.
+here the optimizer is self-contained with two strategies:
+
+* ``random`` — random search plus top-quartile jitter refinement.
+* ``smac`` (default) — sequential model-based optimization in the
+  spirit of SMAC (`smac/configure.py:100-110` builds a SMAC object
+  over the same space): a Gaussian-process surrogate over the encoded
+  config space, expected-improvement acquisition maximized over a
+  random candidate pool seeded with jittered incumbents. Pure numpy,
+  no external dependency, identical protocol surface.
 """
 
 from __future__ import annotations
@@ -80,13 +86,142 @@ def default_objective(ds, m: int, h: int, niter: int, seed: int = 0,
     return objective
 
 
+_METHODS = ("LSQ", "SR_C", "SR_D")
+
+
+def _config_features(cfg: LSQConfig, m: int) -> np.ndarray:
+    """Encode a config as a point in [0,1]^9 for the surrogate:
+    scaled ilsiter/npert/p, randord bit, one-hot method, one-hot-ish
+    schedule (only meaningful for SR methods)."""
+    f = np.zeros(9, dtype=np.float64)
+    f[0] = (cfg.ilsiter - 1) / 15.0
+    f[1] = cfg.npert / max(1, m - 1)
+    f[2] = float(cfg.randord)
+    f[3 + _METHODS.index(cfg.method)] = 1.0
+    is_sr = cfg.method != "LSQ"
+    f[6] = (cfg.schedule - 1) / 2.0 if is_sr else 0.0
+    f[7] = cfg.p if is_sr else 0.0
+    f[8] = (cfg.icmiter - 1) / 31.0
+    return f
+
+
+def _jitter(rng: np.random.Generator, base: LSQConfig,
+            m: int) -> LSQConfig:
+    return dataclasses.replace(
+        base,
+        ilsiter=int(np.clip(base.ilsiter + rng.integers(-2, 3), 1, 16)),
+        npert=int(np.clip(base.npert + rng.integers(-1, 2), 0, m - 1)),
+        p=float(np.clip(base.p + rng.normal(0, 0.1), 0.1, 1.0)),
+        schedule=int(np.clip(base.schedule + rng.integers(-1, 2), 1, 3)),
+        icmiter=None,
+    )
+
+
+class GPSurrogate:
+    """Tiny Gaussian-process regressor (RBF kernel, fixed lengthscale,
+    observation noise) — the surrogate model SMAC fits over evaluated
+    configurations. Exact posterior via Cholesky; fine for the <100
+    evaluations an MCQ HPO run can afford."""
+
+    def __init__(self, lengthscale: float = 0.35, noise: float = 1e-3,
+                 signal: float = 1.0):
+        self.ls, self.noise, self.signal = lengthscale, noise, signal
+        self._X = self._a = self._L = None
+        self._mu = 0.0
+
+    def _kern(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+        return self.signal * np.exp(-0.5 * d2 / self.ls**2)
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "GPSurrogate":
+        self._X = np.asarray(X, np.float64)
+        y = np.asarray(y, np.float64)
+        self._mu = float(y.mean())
+        K = self._kern(self._X, self._X)
+        K[np.diag_indices_from(K)] += self.noise
+        self._L = np.linalg.cholesky(K)
+        self._a = np.linalg.solve(
+            self._L.T, np.linalg.solve(self._L, y - self._mu))
+        return self
+
+    def predict(self, X: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        Ks = self._kern(np.asarray(X, np.float64), self._X)
+        mean = self._mu + Ks @ self._a
+        v = np.linalg.solve(self._L, Ks.T)
+        var = np.maximum(self.signal - (v**2).sum(0), 1e-12)
+        return mean, np.sqrt(var)
+
+
+def _expected_improvement(mean: np.ndarray, std: np.ndarray,
+                          best: float) -> np.ndarray:
+    """EI for minimization, standard-normal closed form."""
+    z = (best - mean) / std
+    pdf = np.exp(-0.5 * z**2) / math.sqrt(2 * math.pi)
+    cdf = 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2)))
+    return (best - mean) * cdf + std * pdf
+
+
+def optimize_smac(objective: Callable[[LSQConfig], float], m: int,
+                  budget: int = 20, seed: int = 0, n_init: int | None = None,
+                  n_candidates: int = 256, verbose: bool = True,
+                  ) -> tuple[LSQConfig, float, list]:
+    """Sequential model-based optimization: random init design, then
+    GP surrogate + expected-improvement over a candidate pool (random
+    draws plus jitters of the current top quartile — SMAC's
+    local-and-random candidate generation).
+
+    Returns ``(best_config, best_loss, history)``."""
+    rng = np.random.default_rng(seed)
+    n_init = max(3, budget // 3) if n_init is None else n_init
+    history: list[tuple[LSQConfig, float]] = []
+    seen: set = set()
+
+    def evaluate(cfg: LSQConfig, tag: str) -> None:
+        loss = objective(cfg)
+        history.append((cfg, loss))
+        seen.add(cfg)
+        if verbose:
+            print(f"[hpo {len(history)}/{budget}] loss={loss:.4f} "
+                  f"{cfg} ({tag})")
+
+    while len(history) < min(n_init, budget):
+        cfg = sample_config(rng, m)
+        if cfg in seen:
+            continue
+        evaluate(cfg, "init")
+
+    while len(history) < budget:
+        X = np.stack([_config_features(c, m) for c, _ in history])
+        y = np.array([l for _, l in history])
+        gp = GPSurrogate().fit(X, y)
+        ranked = sorted(history, key=lambda t: t[1])
+        elites = [c for c, _ in ranked[: max(1, len(ranked) // 4)]]
+        pool = [sample_config(rng, m) for _ in range(n_candidates // 2)]
+        pool += [_jitter(rng, elites[i % len(elites)], m)
+                 for i in range(n_candidates // 2)]
+        pool = [c for c in pool if c not in seen] or [sample_config(rng, m)]
+        mean, std = gp.predict(
+            np.stack([_config_features(c, m) for c in pool]))
+        ei = _expected_improvement(mean, std, float(y.min()))
+        evaluate(pool[int(ei.argmax())], "ei")
+
+    best_cfg, best_loss = min(history, key=lambda t: t[1])
+    return best_cfg, best_loss, history
+
+
 def optimize(objective: Callable[[LSQConfig], float], m: int,
              budget: int = 20, seed: int = 0, refine_frac: float = 0.25,
-             verbose: bool = True) -> tuple[LSQConfig, float, list]:
-    """Random search + top-quartile refinement.
+             verbose: bool = True, strategy: str = "smac",
+             ) -> tuple[LSQConfig, float, list]:
+    """Optimize the LSQ/SR config space. ``strategy='smac'`` (default)
+    runs the GP-surrogate optimizer (`optimize_smac`); ``'random'``
+    runs random search + top-quartile refinement.
 
     Returns ``(best_config, best_loss, history)`` where history is a
     list of (config, loss) in evaluation order."""
+    if strategy == "smac":
+        return optimize_smac(objective, m, budget=budget, seed=seed,
+                             verbose=verbose)
     rng = np.random.default_rng(seed)
     n_explore = max(1, math.ceil(budget * (1 - refine_frac)))
     history: list[tuple[LSQConfig, float]] = []
@@ -106,7 +241,7 @@ def optimize(objective: Callable[[LSQConfig], float], m: int,
         cfg = dataclasses.replace(
             base,
             ilsiter=int(np.clip(base.ilsiter + rng.integers(-2, 3), 1, 16)),
-            npert=int(np.clip(base.npert + rng.integers(-1, 2), 1, m)),
+            npert=int(np.clip(base.npert + rng.integers(-1, 2), 0, m - 1)),
             p=float(np.clip(base.p + rng.normal(0, 0.1), 0.1, 1.0)),
         )
         loss = objective(cfg)

@@ -32,6 +32,41 @@ def test_optimize_finds_planted_optimum():
     assert abs(best.ilsiter - 12) <= 3
 
 
+def test_optimize_smac_beats_random_on_smooth_objective():
+    """The GP-surrogate strategy must exploit structure: on a smooth
+    planted objective it should match or beat random search at equal
+    budget (averaged over seeds to dodge luck)."""
+    def objective(c: LSQConfig) -> float:
+        return (abs(c.ilsiter - 12) / 16 + abs(c.p - 0.3)
+                + 0.2 * (c.method != "SR_D"))
+
+    smac_losses, rand_losses = [], []
+    for seed in range(3):
+        _, l_s, h = optimize(objective, m=7, budget=25, seed=seed,
+                             verbose=False, strategy="smac")
+        assert len(h) == 25
+        _, l_r, _ = optimize(objective, m=7, budget=25, seed=seed,
+                             verbose=False, strategy="random")
+        smac_losses.append(l_s)
+        rand_losses.append(l_r)
+    assert np.mean(smac_losses) <= np.mean(rand_losses) + 0.02
+    assert np.mean(smac_losses) < 0.15
+
+
+def test_gp_surrogate_interpolates():
+    from rayuela_tpu.experiments.hpo import GPSurrogate
+    rng = np.random.default_rng(0)
+    X = rng.uniform(size=(30, 4))
+    y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2
+    gp = GPSurrogate(noise=1e-6).fit(X, y)
+    mean, std = gp.predict(X)
+    assert np.allclose(mean, y, atol=1e-2)
+    assert (std < 0.05).all()
+    # far-away points revert toward the prior with high uncertainty
+    _, std_far = gp.predict(np.full((1, 4), 10.0))
+    assert std_far[0] > 0.9
+
+
 def test_incumbents_quote_reference_verbatim():
     """Pin INCUMBENTS to the call rows at `smac/test_lsq.jl:208-226`,
     read against the positional signature (dataset, m, h, niter,
