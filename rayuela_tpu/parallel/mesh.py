@@ -84,6 +84,8 @@ def _sharded_scan_fn(mesh: Mesh, n: int, shard_n: int, klocal: int,
         shard = jax.lax.axis_index("data")
         i = i + shard * shard_n
         d = jnp.where(i < n, d, jnp.inf)
+        if ndata == 1:                 # static: no merge needed
+            return d[:, :k], i[:, :k]
         # All-gather partial lists along the k axis, merge with top_k.
         dg = jax.lax.all_gather(d, "data", axis=1, tiled=True)  # (nq, P*k)
         ig = jax.lax.all_gather(i, "data", axis=1, tiled=True)
@@ -129,7 +131,7 @@ def sharded_scan_topk(mesh: Mesh, Q: Array, C: Array, B: Array, *,
 @_functools.lru_cache(maxsize=64)
 def _sharded_search_fn(mesh: Mesh, n: int, shard_n: int, klocal: int,
                        k: int, r: int, bq: int, tile: int,
-                       interpret: bool):
+                       interpret: bool, pack: bool):
     from jax import shard_map
 
     from rayuela_tpu.search.scan_pallas import pallas_scan_topk
@@ -139,10 +141,13 @@ def _sharded_search_fn(mesh: Mesh, n: int, shard_n: int, klocal: int,
     def local(Q, Xd, x2):
         d, i, fl = pallas_scan_topk(Q, Xd, x2, k=klocal, r=r, bq=bq,
                                     tile=tile, verify=True,
-                                    interpret=interpret)
+                                    interpret=interpret, pack=pack)
         shard = jax.lax.axis_index("data")
         i = i + shard * shard_n
         d = jnp.where(i < n, d, jnp.inf)
+        if ndata == 1:                 # static: no merge needed
+            kk = min(k, klocal)
+            return d[:, :kk], i[:, :kk], fl
         dg = jax.lax.all_gather(d, "data", axis=1, tiled=True)
         ig = jax.lax.all_gather(i, "data", axis=1, tiled=True)
         neg, loc = jax.lax.top_k(-dg, min(k, ndata * klocal))
@@ -156,8 +161,9 @@ def _sharded_search_fn(mesh: Mesh, n: int, shard_n: int, klocal: int,
 
 
 def sharded_search(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
-                   k: int, r: int | None = None, bq: int = 128,
-                   tile: int = 2048, interpret: bool = False):
+                   k: int, r: int | None = None, bq: int | None = None,
+                   tile: int | None = None, interpret: bool = False,
+                   pack: bool | None = None):
     """Multi-chip fused search: the DECODED index shards over ``data``
     (each chip holds n/P decoded rows — this is how a pod slice holds
     SIFT1B-class bases), queries replicate, each chip runs the fused
@@ -171,15 +177,21 @@ def sharded_search(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
     The jitted executable is cached per (mesh, shapes, statics) — see
     `_sharded_search_fn`.
     """
-    if r is None:
-        r = 16 if k <= 512 else 48
+    from rayuela_tpu.search.scan_pallas import _auto_config
+
     ndata = mesh.shape["data"]
     Xp, n = pad_to_multiple(Xd, ndata)
     x2p, _ = pad_to_multiple(x2, ndata, fill=jnp.inf)
     shard_n = Xp.shape[0] // ndata
     klocal = min(k, shard_n)
+    if pack is None:
+        pack = not interpret
+    ar, abq, atile, _akeep = _auto_config(klocal, Q.shape[0], pack)
+    r = ar if r is None else r
+    bq = abq if bq is None else bq
+    tile = atile if tile is None else tile
     fn = _sharded_search_fn(mesh, n, shard_n, klocal, k, r, bq, tile,
-                            interpret)
+                            interpret, pack)
     return fn(Q, Xp, x2p)
 
 
@@ -200,6 +212,9 @@ def _sharded_search_codes_fn(mesh: Mesh, n: int, shard_n: int,
         shard = jax.lax.axis_index("data")
         i = i + shard * shard_n
         d = jnp.where(i < n, d, jnp.inf)
+        if ndata == 1:                 # static: no merge needed
+            kk = min(k, klocal)
+            return d[:, :kk], i[:, :kk], fl
         dg = jax.lax.all_gather(d, "data", axis=1, tiled=True)
         ig = jax.lax.all_gather(i, "data", axis=1, tiled=True)
         neg, loc = jax.lax.top_k(-dg, min(k, ndata * klocal))

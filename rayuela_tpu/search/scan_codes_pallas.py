@@ -439,7 +439,7 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
     from rayuela_tpu.search.scan_pallas import _auto_config
     if pack is None:
         pack = not interpret
-    ar, abq, atile = _auto_config(k, Q.shape[0], pack)
+    ar, abq, atile, _akeep = _auto_config(k, Q.shape[0], pack)
     r = ar if r is None else r
     bq = min(abq, 512) if bq is None else bq
     tile = atile if tile is None else tile

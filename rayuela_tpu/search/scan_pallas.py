@@ -149,6 +149,66 @@ def _apply_network1(v: Array, stages, descending: bool = False) -> Array:
     return v
 
 
+def _prered_topk(kv: Array, keep: int) -> Array:
+    """Per-lane top-``keep`` (smallest) keys of ``kv`` (s, LANES, bq),
+    returned sorted DESCENDING — a discard-half bitonic reduction.
+
+    Phase 1 sorts each ``keep``-block with alternating directions
+    (even blocks descending); phase 2 repeatedly bitonic-merges block
+    pairs (desc++asc is bitonic) and keeps each merged pair's better
+    half, halving the array until only the top-``keep`` remain. Total
+    work is O(log^2 keep + log(s/keep)) stages — far below the full
+    sort's O(log^2 s) when keep << s, which is what makes selection
+    stop dominating the scan (the per-element exactness contract moves
+    to: no (lane, tile) may hold more than ``keep`` of the top-k —
+    counted by the verification kernel)."""
+    s = kv.shape[0]
+    rest = kv.shape[1:]
+    if s == keep:
+        return _apply_network1(kv, _sort_stages(s), descending=True)
+
+    def stage(v, j, up_fn):
+        nb = v.shape[0] // (2 * j)
+        v4 = v.reshape(nb, 2, j, *rest)
+        a, b = v4[:, 0], v4[:, 1]
+        vmin, vmax = jnp.minimum(a, b), jnp.maximum(a, b)
+        o = lax.broadcasted_iota(
+            jnp.int32, (nb, 1) + (1,) * len(rest), 0) * (2 * j)
+        up = up_fn(o)
+        first = jnp.where(up, vmin, vmax)
+        second = jnp.where(up, vmax, vmin)
+        return jnp.stack([first, second], axis=1).reshape(-1, *rest)
+
+    # phase 1: sort keep-blocks; block b descending iff b even
+    K = 2
+    while K <= keep:
+        j = K // 2
+        while j >= 1:
+            def up_fn(o, K=K):
+                asc_std = ((o % keep) & K) == 0
+                b_even = ((o // keep) % 2) == 0
+                return jnp.logical_xor(asc_std, b_even)
+            kv = stage(kv, j, up_fn)
+            j //= 2
+        K *= 2
+
+    # phase 2: merge 2keep-pairs (sorted desc iff pair even), discard
+    while s > keep:
+        j = keep
+        while j >= 1:
+            kv = stage(kv, j,
+                       lambda o: ((o // (2 * keep)) % 2) == 1)
+            j //= 2
+        nc = s // (2 * keep)
+        v4 = kv.reshape(nc, 2, keep, *rest)
+        c_even = (lax.broadcasted_iota(
+            jnp.int32, (nc, 1) + (1,) * len(rest), 0) % 2) == 0
+        # desc block (even pair): its smallest ``keep`` is the 2nd half
+        kv = jnp.where(c_even, v4[:, 1], v4[:, 0]).reshape(-1, *rest)
+        s //= 2
+    return kv
+
+
 def _sortable_key(s: Array) -> Array:
     """f32 → int32 whose SIGNED order equals the float order: flip the
     lower 31 bits of negatives (positives are their own key). Signed,
@@ -186,7 +246,7 @@ def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int) -> Array:
 
 def _select_insert_packed(s: Array, t, bufp, sem, outp_ref,
                           *, rows: int, r: int, ntiles: int, bq: int,
-                          idbits: int):
+                          idbits: int, keep: int = 0):
     """pack32 selection tail: bitonic-sort the tile rows' packed keys
     descending, merge into the per-lane running top-R key buffer, DMA
     it to HBM on the last tile.
@@ -197,16 +257,26 @@ def _select_insert_packed(s: Array, t, bufp, sem, outp_ref,
     selects per network stage instead of five ops, at half the bytes.
     The verification count compares in the same packed space, so
     exactness (for the truncated-score ranking) is certified
-    identically. Hosts reconstruct ``gid = rowid*128 + lane``."""
+    identically. Hosts reconstruct ``gid = rowid*128 + lane``.
+
+    ``keep`` > 0 pre-reduces each tile to its per-lane top-``keep``
+    (`_prered_topk`) before the buffer merge — ~2-3x less selection
+    work; exact unless some (lane, tile) holds more than ``keep`` of
+    the top-k, which the verification kernel counts."""
     @pl.when(t == 0)
     def _():
         bufp[:] = jnp.full(bufp.shape, jnp.iinfo(jnp.int32).max,
                            jnp.int32)
 
     kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits)
-    kv = _apply_network1(kv, _sort_stages(rows), descending=True)
-    mv = jnp.concatenate([bufp[:], kv], axis=0)
-    mv = _apply_network1(mv, _merge_stages(r + rows))
+    if keep and keep < rows:
+        kv = _prered_topk(kv, keep)
+        mv = jnp.concatenate([bufp[:], kv], axis=0)
+        mv = _apply_network1(mv, _merge_stages(r + keep))
+    else:
+        kv = _apply_network1(kv, _sort_stages(rows), descending=True)
+        mv = jnp.concatenate([bufp[:], kv], axis=0)
+        mv = _apply_network1(mv, _merge_stages(r + rows))
     bufp[:] = mv[:r]
 
     qb = pl.program_id(0)
@@ -278,12 +348,13 @@ def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
 
 def _scan_kernel_packed(qt_ref, x_ref, x2_ref, outp_ref, bufp, sem,
                         *, rows: int, r: int, ntiles: int, bq: int,
-                        idbits: int):
+                        idbits: int, keep: int = 0):
     """pack32 variant: one int32 (value|rowid) key per element."""
     t = pl.program_id(1)
     s = _distance_block(qt_ref, x_ref, x2_ref)
     _select_insert_packed(s, t, bufp, sem, outp_ref, rows=rows, r=r,
-                          ntiles=ntiles, bq=bq, idbits=idbits)
+                          ntiles=ntiles, bq=bq, idbits=idbits,
+                          keep=keep)
 
 
 def _count_below(s: Array, t, tau_ref, *, rows: int, bq: int,
@@ -301,25 +372,30 @@ def _count_below(s: Array, t, tau_ref, *, rows: int, bq: int,
     return jnp.sum(hit, axis=0)
 
 
-def _verify_kernel(qt_ref, x_ref, x2_ref, tau_ref, cnt_ref, acc,
+def _verify_kernel(qt_ref, x_ref, x2_ref, tau_ref, cnt_ref, acc, accm,
                    *, rows: int, ntiles: int, idbits: int):
     """Count, per (query, lane), scores strictly below the global k-th
-    selection key tau. The per-lane buffer holds each lane's exact
-    top-R in the selection order, so the final top-k is exact iff no
-    lane has more than R entries below tau."""
+    selection key tau: the running total (exactness needs <= r per
+    lane) AND the per-tile maximum (pre-reduction exactness needs
+    <= keep per (lane, tile)). ``cnt_ref`` row 0 is the total, row 1
+    the max-over-tiles."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         acc[:] = jnp.zeros(acc.shape, jnp.int32)
+        accm[:] = jnp.zeros(accm.shape, jnp.int32)
 
     s = _distance_block(qt_ref, x_ref, x2_ref)
-    acc[:] = acc[:] + _count_below(s, t, tau_ref, rows=rows,
-                                   bq=s.shape[1], idbits=idbits)
+    c = _count_below(s, t, tau_ref, rows=rows, bq=s.shape[1],
+                     idbits=idbits)
+    acc[:] = acc[:] + c
+    accm[:] = jnp.maximum(accm[:], c)
 
     @pl.when(t == ntiles - 1)
     def _():
-        cnt_ref[:] = acc[:]
+        cnt_ref[0] = acc[:]
+        cnt_ref[1] = accm[:]
 
 
 # ---------------------------------------------------------------------------
@@ -371,11 +447,11 @@ def candidate_ids(outi: Array, nq: int, r: int) -> Array:
 
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
-                              "interpret", "pack"))
+                              "interpret", "pack", "keep"))
 def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
                      r: int = 48, bq: int = 128, tile: int = 2048,
                      verify: bool = True, interpret: bool = False,
-                     pack: bool = False
+                     pack: bool = False, keep: int = 0
                      ) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k ADC scan over a decoded base.
 
@@ -392,6 +468,12 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         of the TRUNCATED scores (19 value bits at SIFT1M size — finer
         than bf16), certified by the same per-lane count in packed
         space; returned distances carry the truncation.
+      keep: pack32-only pre-reduction — reduce each tile to its
+        per-lane top-``keep`` before the buffer merge
+        (`_prered_topk`). Exactness gains a second certificate
+        condition (no (lane, tile) holds more than ``keep`` of the
+        top-k), counted by the verification kernel. Requires
+        ``r + keep`` and ``tile/(128*keep)`` powers of two.
 
     Returns ``(dists (nq, k), ids (nq, k), flagged (nq,) bool)``.
     Flagged queries must be re-run via the exact XLA path (done by
@@ -404,7 +486,16 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
     rows = tile // LANES
     if rows & (rows - 1):
         raise ValueError(f"tile/128={rows} must be a power of two")
-    if (r + rows) & (r + rows - 1):
+    if keep:
+        if not pack:
+            raise ValueError("keep pre-reduction requires pack=True")
+        if keep & (keep - 1) or keep > rows:
+            raise ValueError(f"keep={keep} must be a power of two "
+                             f"<= tile/128={rows}")
+        if (r + keep) & (r + keep - 1):
+            raise ValueError(f"r+keep={r + keep} must be a power of "
+                             "two (bitonic merge width)")
+    elif (r + rows) & (r + rows - 1):
         raise ValueError(f"r+tile/128={r + rows} must be a power of two "
                          "(bitonic merge width)")
     dp = cdiv(d, LANES) * LANES
@@ -434,7 +525,8 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
 
     if idbits:
         kern = functools.partial(_scan_kernel_packed, rows=rows, r=r,
-                                 ntiles=ntiles, bq=bq, idbits=idbits)
+                                 ntiles=ntiles, bq=bq, idbits=idbits,
+                                 keep=keep)
         outp = pl.pallas_call(
             kern,
             grid=(nqb, ntiles),
@@ -498,13 +590,16 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
             pl.BlockSpec((LANES, bq), lambda qb, t: (0, qb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((LANES, bq), lambda qb, t: (0, qb),
+        out_specs=pl.BlockSpec((2, LANES, bq), lambda qb, t: (0, 0, qb),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((LANES, nqp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((LANES, bq), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((2, LANES, nqp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((LANES, bq), jnp.int32),
+                        pltpu.VMEM((LANES, bq), jnp.int32)],
         interpret=interpret,
     )(QT, Xp, x2p, tau)
-    flagged = jnp.any(cnt[:, :nq] > r, axis=0)
+    flagged = jnp.any(cnt[0, :, :nq] > r, axis=0)
+    if keep and keep < rows:
+        flagged = flagged | jnp.any(cnt[1, :, :nq] > keep, axis=0)
     return dists, ids, flagged
 
 
@@ -529,14 +624,16 @@ def build_index(C: Array, B: Array, *, pq: bool = False,
 
 
 def _auto_config(k: int, nq: int, pack: bool):
-    """Measured-best (r, bq, tile) per k class (1x v5e sweep,
+    """Measured-best (r, bq, tile, keep) per k class (1x v5e sweep,
     demos/bench_scan_tune.py, 2026-08-17): shallow tiles + wide query
     blocks win — packed keys halve buffer VMEM, which is what makes
     the wide-bq configs compile. k=100: 40.8k qps at (8, 1024, 1024);
     k=1000: 18.8k at (24, 256, 1024); r+tile/128 must be a power of
-    two. f32 mode keeps the round-1 configs (its buffers are 2x)."""
+    two. f32 mode keeps the round-1 configs (its buffers are 2x).
+    ``keep`` (tile pre-reduction) currently defaults off pending the
+    hardware sweep in demos/bench_prered.py."""
     if not pack:
-        return (16 if k <= 512 else 48), 128, 2048
+        return (16 if k <= 512 else 48), 128, 2048, 0
     if k <= 512:
         r, bq = 8, 1024
     elif k <= 24 * LANES:
@@ -545,13 +642,13 @@ def _auto_config(k: int, nq: int, pack: bool):
         r, bq = 56, 128
     # don't pad tiny query batches up to a huge block
     bqnq = max(128, 1 << (nq - 1).bit_length())
-    return r, min(bq, bqnq), 1024
+    return r, min(bq, bqnq), 1024, 0
 
 
 def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
            bq: int | None = None, tile: int | None = None,
-           interpret: bool = False,
-           pack: bool | None = None) -> tuple[Array, Array]:
+           interpret: bool = False, pack: bool | None = None,
+           keep: int | None = None) -> tuple[Array, Array]:
     """Exact top-k search: Pallas fast path + XLA re-run for any query
     the verification kernel flags (host-side check, so shapes stay
     static under jit).
@@ -567,13 +664,14 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     (see `pallas_scan_topk`)."""
     if pack is None:
         pack = not interpret
-    ar, abq, atile = _auto_config(k, Q.shape[0], pack)
+    ar, abq, atile, akeep = _auto_config(k, Q.shape[0], pack)
     r = ar if r is None else r
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile
+    keep = akeep if keep is None else keep
     dists, ids, flagged = pallas_scan_topk(
         Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
-        verify=True, interpret=interpret, pack=pack)
+        verify=True, interpret=interpret, pack=pack, keep=keep)
     flagged = np.asarray(flagged)
     if flagged.any():
         from rayuela_tpu.search.linscan import exact_rescan

@@ -167,6 +167,68 @@ def test_pack32_gaussian_within_truncation(rng):
     assert (dd <= picked + 1e-3).all()
 
 
+def test_prered_topk_equals_sorted_head(rng):
+    """The discard-half reduction == per-lane full sort's smallest
+    ``keep``, sorted descending — for every (rows, keep) shape class."""
+    from rayuela_tpu.search.scan_pallas import _prered_topk
+    for rows, keep in [(8, 2), (8, 4), (16, 4), (32, 2), (32, 4),
+                       (32, 8), (4, 4), (16, 16)]:
+        kv = rng.integers(-2**31, 2**31 - 1, (rows, 16, 8),
+                          dtype=np.int32)
+        out = np.asarray(jax.jit(
+            lambda v: _prered_topk(v, keep))(jnp.asarray(kv)))
+        ref = np.sort(kv, axis=0)[:keep][::-1]       # keep smallest, desc
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_prered_matches_brute_force(rng):
+    nq, n, d, k = 12, 50_000, 96, 50
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    dists, ids, flagged = run(Q, Xd, k=k, r=28, bq=8, tile=2048,
+                              pack=True, keep=4)
+    assert not np.asarray(flagged).any()
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    picked = np.take_along_axis(D, np.asarray(ids), axis=1)
+    ref_d, _ = brute(Q, Xd, k)
+    np.testing.assert_allclose(picked, ref_d, rtol=3e-3, atol=3e-3)
+    for q in range(nq):
+        assert len(set(np.asarray(ids)[q])) == k
+
+
+def test_prered_per_tile_overflow_is_flagged(rng):
+    """Plant more than ``keep`` of the top-k inside ONE (lane, tile):
+    the per-tile count certificate must flag the query."""
+    nq, n, d, keep = 3, 8192, 16, 2
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32) + 100.0
+    # 4 near-duplicates of query 0, same lane (64), same tile (first)
+    for t in range(4):
+        Xd[t * 128 + 64] = Q[0] + 1e-3 * rng.standard_normal(d)
+    dists, ids, flagged = run(Q, Xd, k=8, r=14, bq=4, tile=1024,
+                              pack=True, keep=keep)
+    flagged = np.asarray(flagged)
+    assert flagged[0], "per-tile overflow must be flagged"
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    for q in range(1, nq):
+        if not flagged[q]:
+            picked = np.take_along_axis(D[q:q+1], np.asarray(ids)[q:q+1],
+                                        axis=1)
+            np.testing.assert_allclose(
+                picked[0], np.sort(D[q])[:8], rtol=3e-3, atol=3e-3)
+
+
+def test_prered_validation(rng):
+    Q = rng.standard_normal((4, 32)).astype(np.float32)
+    Xd = rng.standard_normal((1000, 32)).astype(np.float32)
+    with pytest.raises(ValueError):        # needs pack
+        run(Q, Xd, k=8, r=28, bq=4, tile=1024, keep=4)
+    with pytest.raises(ValueError):        # r+keep not power of two
+        run(Q, Xd, k=8, r=20, bq=4, tile=1024, pack=True, keep=4)
+    with pytest.raises(ValueError):        # keep not a power of two
+        run(Q, Xd, k=8, r=29, bq=4, tile=1024, pack=True, keep=3)
+
+
 def test_pack32_key_roundtrip(rng):
     """Host-side sortable-key transform is an order isomorphism."""
     import jax.numpy as jnp
