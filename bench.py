@@ -44,6 +44,18 @@ def _sync(x):
     return np.asarray(x[0] if isinstance(x, (tuple, list)) else x)
 
 
+def _best_of(fn, reps: int = 3) -> float:
+    """Min wall-clock over ``reps`` calls (each fn() must block until
+    its result is on host). The axon tunnel injects erratic
+    multi-hundred-ms stalls; the minimum is the steady-state time."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def emit(metric, value, unit, vs):
     print(json.dumps({"metric": metric, "value": round(value, 1),
                       "unit": unit, "vs_baseline": round(vs, 3)}),
@@ -77,11 +89,12 @@ def bench_scan(jax, jnp, rng, C, B, Q):
         # (measured ~2x at QCHUNK=2000)
         out = do_search(index, Q, knn)                # compile/warm
         _ = np.asarray(out[0][0, :1])
-        t0 = time.perf_counter()
-        out = do_search(index, Q, knn)
-        jax.block_until_ready(out)
-        _ = np.asarray(out[0][0, 0])
-        qps = NQ / (time.perf_counter() - t0)
+
+        def call(knn=knn):
+            out = do_search(index, Q, knn)
+            jax.block_until_ready(out)
+            _ = np.asarray(out[0][0, 0])
+        qps = NQ / _best_of(call)
         emit(name, qps, "queries/s", qps / SCAN_BASELINE_QPS)
     del index
 
@@ -99,11 +112,11 @@ def bench_scan_codes(jax, jnp, rng, C, B, Q):
         print(f"# codes-resident path unavailable "
               f"({type(e).__name__}: {e})", flush=True)
         return
-    t0 = time.perf_counter()
-    out = search_codes(idx, Q, KNN)
-    jax.block_until_ready(out)
-    _ = np.asarray(out[0][0, 0])
-    qps = NQ / (time.perf_counter() - t0)
+    def call():
+        out = search_codes(idx, Q, KNN)
+        jax.block_until_ready(out)
+        _ = np.asarray(out[0][0, 0])
+    qps = NQ / _best_of(call)
     emit("codes_scan_qps_sift1m_m8_knn1000", qps, "queries/s",
          qps / SCAN_BASELINE_QPS)
 
@@ -122,10 +135,9 @@ def bench_encode(jax, jnp, rng):
 
         try:
             _sync(encoding_icm(key, X, C, B0, impl="pallas", **kw))
-            t0 = time.perf_counter()
-            out = encoding_icm(key, X, C, B0, impl="pallas", **kw)
-            _sync(out)
-            vps = N_ENC / (time.perf_counter() - t0)
+            vps = N_ENC / _best_of(
+                lambda: _sync(encoding_icm(key, X, C, B0,
+                                           impl="pallas", **kw)))
         except Exception as e:
             print(f"# pallas encode m={m} unavailable "
                   f"({type(e).__name__}: {e})", flush=True)
@@ -134,10 +146,9 @@ def bench_encode(jax, jnp, rng):
         # XLA formulation on a slice, for the in-run speedup ratio
         nx = 50_000
         _sync(encoding_icm(key, X[:nx], C, B0[:nx], impl="xla", **kw))
-        t0 = time.perf_counter()
-        out = encoding_icm(key, X[:nx], C, B0[:nx], impl="xla", **kw)
-        _sync(out)
-        xla_vps = nx / (time.perf_counter() - t0)
+        xla_vps = nx / _best_of(
+            lambda: _sync(encoding_icm(key, X[:nx], C, B0[:nx],
+                                       impl="xla", **kw)), reps=2)
         emit(f"icm_encode_vps_m{m}", vps, "vectors/s", vps / xla_vps)
 
 
