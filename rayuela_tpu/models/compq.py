@@ -92,16 +92,28 @@ def _layer_lrs(m: int, lr_total: float) -> Array:
     return raw / jnp.sum(raw) * lr_total
 
 
-@partial(jax.jit, static_argnames=("niter", "H", "chunk"))
+@partial(jax.jit, static_argnames=("niter", "H", "chunk", "update"))
 def train_compq(X: Array, C0: Array, B0: Array, niter: int = 10,
                 H: int = 16, lr_total: float = 0.01,
-                chunk: int = 1024) -> tuple[CompQModel, Array, Array]:
+                chunk: int = 1024, update: str = "sgd",
+                ) -> tuple[CompQModel, Array, Array]:
     """Train CompQ from an init (typically RVQ). Returns
     ``(model, codes, obj (niter+1,))``.
 
-    Per iteration: batched beam re-encode, then one mini-batch SGD step
-    per codebook ``C_i += 2 lr_i · onehot(B_i)^T X_r`` (reference
-    `src/CompetitiveQ.jl:44-58,160-210`, batched)."""
+    Per iteration: batched beam re-encode, then a codebook update:
+
+    * ``update="sgd"`` — one mini-batch SGD step per codebook
+      ``C_i += 2 lr_i · onehot(B_i)^T X_r`` (the reference's rule,
+      `src/CompetitiveQ.jl:44-58,160-210`, batched).
+    * ``update="lsq"`` — exact regularized least-squares solve of
+      ``min_C |X - Σ_i C_i[B_i]|^2`` given the beam codes (the
+      additive model is identical to LSQ's, so the fastbin normal
+      equations of `rayuela_tpu.ops.codebook_update` apply verbatim;
+      the reference's SGD is a noisy step toward this solution —
+      solving it exactly descends at least as fast per iteration).
+    """
+    from rayuela_tpu.ops.codebook_update import update_codebooks
+
     m, h, d = C0.shape
     n = X.shape[0]
 
@@ -109,6 +121,9 @@ def train_compq(X: Array, C0: Array, B0: Array, niter: int = 10,
         C, B, obj = state
         obj = obj.at[it].set(qerror(X, C, B))
         B, Xr = quantize_compq(C, X, H=H, chunk=chunk)
+        if update == "lsq":
+            C = update_codebooks(X, B, h=h)
+            return C, B, obj
         lrs = _layer_lrs(m, lr_total)
 
         def upd(i, C):

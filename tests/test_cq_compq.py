@@ -80,3 +80,20 @@ def test_train_compq_improves(rng):
                                 lr_total=0.005, chunk=128)
     obj = np.asarray(obj)
     assert obj[-1] < obj[0]
+
+
+def test_train_compq_lsq_update_beats_sgd(rng):
+    """The exact least-squares codebook update must reach a final
+    error <= the reference-style SGD step from the same init."""
+    from rayuela_tpu.models.compq import train_compq
+    from rayuela_tpu.models.rvq import train_rvq
+    m, h, d, n = 3, 8, 10, 400
+    X = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    rvq, B0, _ = train_rvq(jax.random.PRNGKey(0), X, m, h, niter=5)
+    _, _, obj_sgd = train_compq(X, rvq.codebooks, B0, niter=6, H=4,
+                                lr_total=0.005, chunk=128)
+    _, _, obj_lsq = train_compq(X, rvq.codebooks, B0, niter=6, H=4,
+                                chunk=128, update="lsq")
+    obj_sgd, obj_lsq = np.asarray(obj_sgd), np.asarray(obj_lsq)
+    assert obj_lsq[-1] < obj_lsq[0]
+    assert obj_lsq[-1] <= obj_sgd[-1] * 1.02
