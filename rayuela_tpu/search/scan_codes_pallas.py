@@ -215,15 +215,16 @@ def _codes_scan_kernel(t_ref, codes_ref, outv_ref, outi_ref,
 def _codes_scan_kernel_packed(t_ref, codes_ref, outp_ref, bufp, sem,
                               *, rows: int, r: int, ntiles: int,
                               bq: int, mprime: int, h: int, n: int,
-                              lut_dtype, idbits: int):
+                              lut_dtype, idbits: int, keep: int = 0):
     t = pl.program_id(1)
     s = _masked_lut_scores(t_ref, codes_ref, t, rows=rows, bq=bq,
                            mprime=mprime, h=h, n=n, lut_dtype=lut_dtype)
     _select_insert_packed(s, t, bufp, sem, outp_ref, rows=rows, r=r,
-                          ntiles=ntiles, bq=bq, idbits=idbits)
+                          ntiles=ntiles, bq=bq, idbits=idbits,
+                          keep=keep)
 
 
-def _codes_verify_kernel(t_ref, codes_ref, tau_ref, cnt_ref, acc,
+def _codes_verify_kernel(t_ref, codes_ref, tau_ref, cnt_ref, acc, accm,
                          *, rows: int, ntiles: int, mprime: int,
                          h: int, n: int, lut_dtype, idbits: int):
     t = pl.program_id(1)
@@ -231,16 +232,19 @@ def _codes_verify_kernel(t_ref, codes_ref, tau_ref, cnt_ref, acc,
     @pl.when(t == 0)
     def _():
         acc[:] = jnp.zeros(acc.shape, jnp.int32)
+        accm[:] = jnp.zeros(accm.shape, jnp.int32)
 
     bq = tau_ref.shape[1]
     s = _masked_lut_scores(t_ref, codes_ref, t, rows=rows, bq=bq,
                            mprime=mprime, h=h, n=n, lut_dtype=lut_dtype)
-    acc[:] = acc[:] + _count_below(s, t, tau_ref, rows=rows, bq=bq,
-                                   idbits=idbits)
+    c = _count_below(s, t, tau_ref, rows=rows, bq=bq, idbits=idbits)
+    acc[:] = acc[:] + c
+    accm[:] = jnp.maximum(accm[:], c)
 
     @pl.when(t == ntiles - 1)
     def _():
-        cnt_ref[:] = acc[:]
+        cnt_ref[0] = acc[:]
+        cnt_ref[1] = accm[:]
 
 
 # ---------------------------------------------------------------------------
@@ -249,11 +253,12 @@ def _codes_verify_kernel(t_ref, codes_ref, tau_ref, cnt_ref, acc,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
-                              "interpret", "lut_dtype", "pack"))
+                              "interpret", "lut_dtype", "pack", "keep"))
 def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
                            r: int = 48, bq: int = 128, tile: int = 2048,
                            verify: bool = True, interpret: bool = False,
-                           lut_dtype=jnp.bfloat16, pack: bool = False
+                           lut_dtype=jnp.bfloat16, pack: bool = False,
+                           keep: int = 0
                            ) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k over packed codes.
 
@@ -274,7 +279,16 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
     rows = tile // LANES
     if rows & (rows - 1):
         raise ValueError(f"tile/128={rows} must be a power of two")
-    if (r + rows) & (r + rows - 1):
+    if keep:
+        if not pack:
+            raise ValueError("keep pre-reduction requires pack=True")
+        if keep & (keep - 1) or keep > rows:
+            raise ValueError(f"keep={keep} must be a power of two "
+                             f"<= tile/128={rows}")
+        if (r + keep) & (r + keep - 1):
+            raise ValueError(f"r+keep={r + keep} must be a power of "
+                             "two (bitonic merge width)")
+    elif (r + rows) & (r + rows - 1):
         raise ValueError(f"r+tile/128={r + rows} must be a power of two")
 
     npad = cdiv(n, tile) * tile
@@ -300,7 +314,8 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
         kern = functools.partial(_codes_scan_kernel_packed, rows=rows,
                                  r=r, ntiles=ntiles, bq=bq,
                                  mprime=mprime, h=h, n=n,
-                                 lut_dtype=lut_dtype, idbits=idbits)
+                                 lut_dtype=lut_dtype, idbits=idbits,
+                                 keep=keep)
         outp = pl.pallas_call(
             kern,
             grid=(nqb, ntiles),
@@ -361,13 +376,16 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
             pl.BlockSpec((LANES, bq), lambda qb, t: (0, qb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((LANES, bq), lambda qb, t: (0, qb),
+        out_specs=pl.BlockSpec((2, LANES, bq), lambda qb, t: (0, 0, qb),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((LANES, nqp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((LANES, bq), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((2, LANES, nqp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((LANES, bq), jnp.int32),
+                        pltpu.VMEM((LANES, bq), jnp.int32)],
         interpret=interpret,
     )(Tf, PT, tau)
-    flagged = jnp.any(cnt[:, :nq] > r, axis=0)
+    flagged = jnp.any(cnt[0, :, :nq] > r, axis=0)
+    if keep and keep < rows:
+        flagged = flagged | jnp.any(cnt[1, :, :nq] > keep, axis=0)
     return scores, ids, flagged
 
 
@@ -423,8 +441,8 @@ def build_codes_index(C: Array, B: Array, *, pq: bool = False,
 def search_codes(index: CodesIndex, Q: Array, k: int, *,
                  r: int | None = None, bq: int | None = None,
                  tile: int | None = None, interpret: bool = False,
-                 lut_dtype=jnp.bfloat16,
-                 pack: bool | None = None) -> tuple[Array, Array]:
+                 lut_dtype=jnp.bfloat16, pack: bool | None = None,
+                 keep: int | None = None) -> tuple[Array, Array]:
     """Exact top-k (for the LUT scores) over a packed-code index:
     fused kernel + XLA LUT re-scan for flagged queries. Returns true
     squared distances for PQ/additive-with-norms conventions (adds the
@@ -439,16 +457,17 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
     from rayuela_tpu.search.scan_pallas import _auto_config
     if pack is None:
         pack = not interpret
-    ar, abq, atile, _akeep = _auto_config(k, Q.shape[0], pack)
+    ar, abq, atile, akeep = _auto_config(k, Q.shape[0], pack)
     r = ar if r is None else r
     bq = min(abq, 512) if bq is None else bq
     tile = atile if tile is None else tile
+    keep = akeep if keep is None else keep
     d = Q.shape[1] if index.d in (-1, None) else index.d
     T = build_luts(index.C, Q, pq=index.pq, d=d,
                    norms_cbook=index.norms_cbook)
     scores, ids, flagged = pallas_scan_codes_topk(
         T, index.packed, k=k, r=r, bq=bq, tile=tile, verify=True,
-        interpret=interpret, lut_dtype=lut_dtype, pack=pack)
+        interpret=interpret, lut_dtype=lut_dtype, pack=pack, keep=keep)
     flagged = np.asarray(flagged)
     if flagged.any():
         qidx = np.nonzero(flagged)[0]

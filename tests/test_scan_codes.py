@@ -184,3 +184,26 @@ def test_adversarial_lane_overflow_is_flagged_and_repaired(rng):
     D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
     np.testing.assert_allclose(np.asarray(dv), np.sort(D, 1)[:, :k],
                                rtol=1e-4, atol=1e-3)
+
+
+def test_kernel_prered_matches_xla_lut_scan(rng):
+    """keep pre-reduction: same scores as the XLA oracle when nothing
+    overflows the per-tile certificate."""
+    from rayuela_tpu.search.scan_codes_pallas import (build_luts,
+                                                      pack_codes,
+                                                      xla_lut_scan)
+    d, m, h, n, nq, k = 32, 4, 16, 30_000, 10, 40
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    T = build_luts(jnp.asarray(C), jnp.asarray(Q), pq=True, d=d)
+    packed = pack_codes(jnp.asarray(B))
+    sc, ids, flagged = _run_kernel(T, packed, k=k, r=28, bq=8,
+                                   tile=1024, lut_dtype=jnp.float32,
+                                   pack=True, keep=4)
+    s64 = _lut_brute(T, B)
+    picked = np.take_along_axis(s64, np.asarray(ids), axis=1)
+    ok = ~np.asarray(flagged)
+    assert ok.any()
+    ref = np.sort(s64, axis=1)[:, :k]
+    np.testing.assert_allclose(picked[ok], ref[ok], rtol=3e-3,
+                               atol=3e-3)
