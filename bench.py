@@ -21,6 +21,10 @@ Emits one JSON line per metric: ``{"metric", "value", "unit",
   running-sum kernel. The reference records no throughput (wall-clock
   prints only), so vs_baseline is the speedup over this repo's own
   XLA one-hot formulation measured in the same run.
+* ``viterbi_encode_vps_m8`` — ChainQ exact Viterbi encode (reference
+  C++/CUDA kernels `deps/src/encode_icm.cpp:63-152`,
+  `cudautils.cu:198-291`) on the Pallas kernel; vs_baseline is the
+  in-run speedup over the batched XLA min-plus path.
 """
 
 from __future__ import annotations
@@ -152,6 +156,27 @@ def bench_encode(jax, jnp, rng):
         emit(f"icm_encode_vps_m{m}", vps, "vectors/s", vps / xla_vps)
 
 
+def bench_viterbi(jax, jnp, rng):
+    from rayuela_tpu.ops.viterbi import viterbi_encode
+
+    n_vit = 100_000
+    X = jnp.asarray(rng.standard_normal((n_vit, D)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((M, H, D)) * 0.2, jnp.float32)
+    jax.block_until_ready((X, C))
+    try:
+        _sync(viterbi_encode(X, C, impl="pallas"))
+        vps = n_vit / _best_of(
+            lambda: _sync(viterbi_encode(X, C, impl="pallas")))
+    except Exception as e:
+        print(f"# pallas viterbi unavailable ({type(e).__name__}: {e})",
+              flush=True)
+        return
+    _sync(viterbi_encode(X, C, impl="xla"))
+    xla_vps = n_vit / _best_of(
+        lambda: _sync(viterbi_encode(X, C, impl="xla")), reps=2)
+    emit("viterbi_encode_vps_m8", vps, "vectors/s", vps / xla_vps)
+
+
 def main():
     import jax
 
@@ -173,6 +198,7 @@ def main():
     bench_scan(jax, jnp, rng, C, B, Q)
     bench_scan_codes(jax, jnp, rng, C, B, Q)
     bench_encode(jax, jnp, rng)
+    bench_viterbi(jax, jnp, rng)
 
 
 if __name__ == "__main__":
