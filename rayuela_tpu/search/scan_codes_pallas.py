@@ -212,15 +212,15 @@ def _codes_scan_kernel(t_ref, codes_ref, outv_ref, outi_ref,
         cpi.wait()
 
 
-def _codes_scan_kernel_packed(t_ref, codes_ref, outp_ref, bufp, sem,
-                              *, rows: int, r: int, ntiles: int,
+def _codes_scan_kernel_packed(t_ref, codes_ref, outp_ref, bufp, dminp,
+                              sem, *, rows: int, r: int, ntiles: int,
                               bq: int, mprime: int, h: int, n: int,
                               lut_dtype, idbits: int, keep: int = 0):
     t = pl.program_id(1)
     s = _masked_lut_scores(t_ref, codes_ref, t, rows=rows, bq=bq,
                            mprime=mprime, h=h, n=n, lut_dtype=lut_dtype)
-    _select_insert_packed(s, t, bufp, sem, outp_ref, rows=rows, r=r,
-                          ntiles=ntiles, bq=bq, idbits=idbits,
+    _select_insert_packed(s, t, bufp, dminp, sem, outp_ref, rows=rows,
+                          r=r, ntiles=ntiles, bq=bq, idbits=idbits,
                           keep=keep)
 
 
@@ -321,16 +321,25 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
             grid=(nqb, ntiles),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((r, LANES, nqp), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((r + 1, LANES, nqp),
+                                           jnp.int32),
             scratch_shapes=[
                 pltpu.VMEM((r, LANES, bq), jnp.int32),
+                pltpu.VMEM((1, LANES, bq), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
         )(Tf, PT)
-        scores, ids, tau_k = _packed_candidates(outp, nq, r, kk, idbits)
-        tau = jnp.full((nqp,), jnp.iinfo(jnp.int32).min, jnp.int32)
-        tau = tau.at[:nq].set(tau_k)
+        scores, ids, tau_k = _packed_candidates(outp[:r], nq, r, kk,
+                                                idbits)
+        if not verify:
+            return scores, ids, jnp.zeros((nq,), bool)
+        # in-scan certificate, same argument as scan_pallas: no
+        # counting pass in packed mode
+        flagged = jnp.any(outp[r - 1, :, :nq] < tau_k[None, :], axis=0)
+        if keep and keep < rows:
+            flagged |= jnp.any(outp[r, :, :nq] < tau_k[None, :], axis=0)
+        return scores, ids, flagged
     else:
         kern = functools.partial(_codes_scan_kernel, rows=rows, r=r,
                                  ntiles=ntiles, bq=bq, mprime=mprime,
@@ -384,8 +393,6 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
         interpret=interpret,
     )(Tf, PT, tau)
     flagged = jnp.any(cnt[0, :, :nq] > r, axis=0)
-    if keep and keep < rows:
-        flagged = flagged | jnp.any(cnt[1, :, :nq] > keep, axis=0)
     return scores, ids, flagged
 
 

@@ -244,7 +244,7 @@ def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int) -> Array:
     return (key & vmask) | rid
 
 
-def _select_insert_packed(s: Array, t, bufp, sem, outp_ref,
+def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
                           *, rows: int, r: int, ntiles: int, bq: int,
                           idbits: int, keep: int = 0):
     """pack32 selection tail: bitonic-sort the tile rows' packed keys
@@ -262,15 +262,27 @@ def _select_insert_packed(s: Array, t, bufp, sem, outp_ref,
     ``keep`` > 0 pre-reduces each tile to its per-lane top-``keep``
     (`_prered_topk`) before the buffer merge — ~2-3x less selection
     work; exact unless some (lane, tile) holds more than ``keep`` of
-    the top-k, which the verification kernel counts."""
+    the top-k.
+
+    The kernel also emits its own exactness certificate, so no second
+    counting pass is needed (see `pallas_scan_topk`): ``dminp`` tracks
+    the running min over tiles of each tile's keep-th-smallest key
+    (the best DISCARDED candidate is always >= it), and the output's
+    extra row carries it; the buffer's own last (r-th best) key is the
+    per-lane-total certificate."""
     @pl.when(t == 0)
     def _():
         bufp[:] = jnp.full(bufp.shape, jnp.iinfo(jnp.int32).max,
                            jnp.int32)
+        dminp[:] = jnp.full(dminp.shape, jnp.iinfo(jnp.int32).max,
+                            jnp.int32)
 
     kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits)
     if keep and keep < rows:
         kv = _prered_topk(kv, keep)
+        # kv[0] is the keep-th smallest of this (lane, tile): every
+        # discarded element is > it (total order)
+        dminp[:] = jnp.minimum(dminp[:], kv[0:1])
         mv = jnp.concatenate([bufp[:], kv], axis=0)
         mv = _apply_network1(mv, _merge_stages(r + keep))
     else:
@@ -284,9 +296,13 @@ def _select_insert_packed(s: Array, t, bufp, sem, outp_ref,
     @pl.when(t == ntiles - 1)
     def _():
         cp = pltpu.make_async_copy(
-            bufp, outp_ref.at[:, :, pl.ds(qb * bq, bq)], sem.at[0])
+            bufp, outp_ref.at[:r, :, pl.ds(qb * bq, bq)], sem.at[0])
+        cpd = pltpu.make_async_copy(
+            dminp, outp_ref.at[r:, :, pl.ds(qb * bq, bq)], sem.at[1])
         cp.start()
+        cpd.start()
         cp.wait()
+        cpd.wait()
 
 
 def _distance_block(qt_ref, x_ref, x2_ref):
@@ -346,14 +362,14 @@ def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
         cpi.wait()
 
 
-def _scan_kernel_packed(qt_ref, x_ref, x2_ref, outp_ref, bufp, sem,
-                        *, rows: int, r: int, ntiles: int, bq: int,
-                        idbits: int, keep: int = 0):
+def _scan_kernel_packed(qt_ref, x_ref, x2_ref, outp_ref, bufp, dminp,
+                        sem, *, rows: int, r: int, ntiles: int,
+                        bq: int, idbits: int, keep: int = 0):
     """pack32 variant: one int32 (value|rowid) key per element."""
     t = pl.program_id(1)
     s = _distance_block(qt_ref, x_ref, x2_ref)
-    _select_insert_packed(s, t, bufp, sem, outp_ref, rows=rows, r=r,
-                          ntiles=ntiles, bq=bq, idbits=idbits,
+    _select_insert_packed(s, t, bufp, dminp, sem, outp_ref, rows=rows,
+                          r=r, ntiles=ntiles, bq=bq, idbits=idbits,
                           keep=keep)
 
 
@@ -461,7 +477,10 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         search). All f32 or bf16 (scores accumulate f32 either way).
       k: neighbors (must be <= r * 128).
       r: per-lane buffer depth; the exactness check is count <= r.
-      verify: run the counting kernel; returns per-query overflow flags.
+      verify: emit per-query overflow flags. In pack32 mode this is
+        FREE — the scan emits its own certificate (buffer r-th key +
+        per-tile discard bound) instead of a second counting pass; the
+        f32 mode still runs the counting kernel.
       pack: pack32 selection — each element is ONE uint32
         (sortable-score top bits | row id low bits), a TOTAL order
         with ~2.5x less selection work. The result is the exact top-k
@@ -532,18 +551,30 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
             grid=(nqb, ntiles),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((r, LANES, nqp), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((r + 1, LANES, nqp),
+                                           jnp.int32),
             scratch_shapes=[
                 pltpu.VMEM((r, LANES, bq), jnp.int32),
+                pltpu.VMEM((1, LANES, bq), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
         )(QT, Xp, x2p)
-        vals, ids, tau_k = _packed_candidates(outp, nq, r, kk, idbits)
+        vals, ids, tau_k = _packed_candidates(outp[:r], nq, r, kk,
+                                              idbits)
         dists = vals + q2
-        # pad queries: INT32_MIN so nothing counts below them
-        tau = jnp.full((nqp,), jnp.iinfo(jnp.int32).min, jnp.int32)
-        tau = tau.at[:nq].set(tau_k)
+        if not verify:
+            return dists, ids, jnp.zeros((nq,), bool)
+        # In-scan exactness certificate — no counting pass needed:
+        # a lane's below-tau count can exceed r only if its r-th best
+        # key (buffer row r-1) is < tau (conservative by one: also
+        # fires at exactly r, probability ~(k/128n)^r); with keep, a
+        # (lane, tile) discarded a below-tau element only if that
+        # tile's keep-th smallest (dmin row) is < tau.
+        flagged = jnp.any(outp[r - 1, :, :nq] < tau_k[None, :], axis=0)
+        if keep and keep < rows:
+            flagged |= jnp.any(outp[r, :, :nq] < tau_k[None, :], axis=0)
+        return dists, ids, flagged
     else:
         kern = functools.partial(_scan_kernel, rows=rows, r=r,
                                  ntiles=ntiles, bq=bq)
@@ -598,8 +629,6 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         interpret=interpret,
     )(QT, Xp, x2p, tau)
     flagged = jnp.any(cnt[0, :, :nq] > r, axis=0)
-    if keep and keep < rows:
-        flagged = flagged | jnp.any(cnt[1, :, :nq] > keep, axis=0)
     return dists, ids, flagged
 
 
