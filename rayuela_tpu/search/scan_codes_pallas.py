@@ -334,11 +334,9 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
                                                 idbits)
         if not verify:
             return scores, ids, jnp.zeros((nq,), bool)
-        # in-scan certificate, same argument as scan_pallas: no
-        # counting pass in packed mode
-        flagged = jnp.any(outp[r - 1, :, :nq] < tau_k[None, :], axis=0)
-        if keep and keep < rows:
-            flagged |= jnp.any(outp[r, :, :nq] < tau_k[None, :], axis=0)
+        # in-scan EXACT certificate (min discarded/evicted key), same
+        # argument as scan_pallas: no counting pass in packed mode
+        flagged = jnp.any(outp[r, :, :nq] < tau_k[None, :], axis=0)
         return scores, ids, flagged
     else:
         kern = functools.partial(_codes_scan_kernel, rows=rows, r=r,

@@ -149,9 +149,10 @@ def _apply_network1(v: Array, stages, descending: bool = False) -> Array:
     return v
 
 
-def _prered_topk(kv: Array, keep: int) -> Array:
+def _prered_topk(kv: Array, keep: int) -> tuple[Array, Array | None]:
     """Per-lane top-``keep`` (smallest) keys of ``kv`` (s, LANES, bq),
-    returned sorted DESCENDING — a discard-half bitonic reduction.
+    sorted DESCENDING, plus the MIN over all discarded keys (None if
+    nothing was discarded) — a discard-half bitonic reduction.
 
     Phase 1 sorts each ``keep``-block with alternating directions
     (even blocks descending); phase 2 repeatedly bitonic-merges block
@@ -159,13 +160,18 @@ def _prered_topk(kv: Array, keep: int) -> Array:
     half, halving the array until only the top-``keep`` remain. Total
     work is O(log^2 keep + log(s/keep)) stages — far below the full
     sort's O(log^2 s) when keep << s, which is what makes selection
-    stop dominating the scan (the per-element exactness contract moves
-    to: no (lane, tile) may hold more than ``keep`` of the top-k —
-    counted by the verification kernel)."""
+    stop dominating the scan.
+
+    The discard-min is the exactness certificate's input: an element
+    smaller than the tile's (keep+1)-th smallest is never discarded
+    (fewer than ``keep`` elements beat it), so the discard-min IS the
+    tile's (keep+1)-th smallest, and min-ing it across tiles gives the
+    best key the scan ever threw away before the buffer."""
     s = kv.shape[0]
     rest = kv.shape[1:]
     if s == keep:
-        return _apply_network1(kv, _sort_stages(s), descending=True)
+        return (_apply_network1(kv, _sort_stages(s), descending=True),
+                None)
 
     def stage(v, j, up_fn):
         nb = v.shape[0] // (2 * j)
@@ -193,6 +199,7 @@ def _prered_topk(kv: Array, keep: int) -> Array:
         K *= 2
 
     # phase 2: merge 2keep-pairs (sorted desc iff pair even), discard
+    disc_min = None
     while s > keep:
         j = keep
         while j >= 1:
@@ -203,10 +210,16 @@ def _prered_topk(kv: Array, keep: int) -> Array:
         v4 = kv.reshape(nc, 2, keep, *rest)
         c_even = (lax.broadcasted_iota(
             jnp.int32, (nc, 1) + (1,) * len(rest), 0) % 2) == 0
-        # desc block (even pair): its smallest ``keep`` is the 2nd half
-        kv = jnp.where(c_even, v4[:, 1], v4[:, 0]).reshape(-1, *rest)
+        # desc block (even pair): its smallest ``keep`` is the 2nd
+        # half; the discarded half is sorted too, so its min is one
+        # known position (last of the desc half / first of the asc)
+        kv_kept = jnp.where(c_even, v4[:, 1], v4[:, 0])
+        dm = jnp.min(jnp.where(c_even[:, 0], v4[:, 0, keep - 1],
+                               v4[:, 1, 0]), axis=0)
+        disc_min = dm if disc_min is None else jnp.minimum(disc_min, dm)
+        kv = kv_kept.reshape(-1, *rest)
         s //= 2
-    return kv
+    return kv, disc_min
 
 
 def _sortable_key(s: Array) -> Array:
@@ -264,12 +277,13 @@ def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
     work; exact unless some (lane, tile) holds more than ``keep`` of
     the top-k.
 
-    The kernel also emits its own exactness certificate, so no second
+    The kernel also emits an EXACT exactness certificate, so no second
     counting pass is needed (see `pallas_scan_topk`): ``dminp`` tracks
-    the running min over tiles of each tile's keep-th-smallest key
-    (the best DISCARDED candidate is always >= it), and the output's
-    extra row carries it; the buffer's own last (r-th best) key is the
-    per-lane-total certificate."""
+    the running min over every key the scan ever threw away — prered
+    discard-mins plus the min evicted from each buffer merge
+    (``mv[r]``). Every non-candidate element was discarded or evicted
+    exactly once, so dminp < tau  <=>  the candidate buffer misses
+    some below-tau element  <=>  the returned top-k could be wrong."""
     @pl.when(t == 0)
     def _():
         bufp[:] = jnp.full(bufp.shape, jnp.iinfo(jnp.int32).max,
@@ -279,10 +293,9 @@ def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
 
     kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits)
     if keep and keep < rows:
-        kv = _prered_topk(kv, keep)
-        # kv[0] is the keep-th smallest of this (lane, tile): every
-        # discarded element is > it (total order)
-        dminp[:] = jnp.minimum(dminp[:], kv[0:1])
+        kv, disc_min = _prered_topk(kv, keep)
+        if disc_min is not None:
+            dminp[:] = jnp.minimum(dminp[:], disc_min[None])
         mv = jnp.concatenate([bufp[:], kv], axis=0)
         mv = _apply_network1(mv, _merge_stages(r + keep))
     else:
@@ -290,6 +303,7 @@ def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
         mv = jnp.concatenate([bufp[:], kv], axis=0)
         mv = _apply_network1(mv, _merge_stages(r + rows))
     bufp[:] = mv[:r]
+    dminp[:] = jnp.minimum(dminp[:], mv[r:r + 1])   # min evicted key
 
     qb = pl.program_id(0)
 
@@ -565,15 +579,11 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         dists = vals + q2
         if not verify:
             return dists, ids, jnp.zeros((nq,), bool)
-        # In-scan exactness certificate — no counting pass needed:
-        # a lane's below-tau count can exceed r only if its r-th best
-        # key (buffer row r-1) is < tau (conservative by one: also
-        # fires at exactly r, probability ~(k/128n)^r); with keep, a
-        # (lane, tile) discarded a below-tau element only if that
-        # tile's keep-th smallest (dmin row) is < tau.
-        flagged = jnp.any(outp[r - 1, :, :nq] < tau_k[None, :], axis=0)
-        if keep and keep < rows:
-            flagged |= jnp.any(outp[r, :, :nq] < tau_k[None, :], axis=0)
+        # In-scan EXACT certificate — no counting pass: row r is the
+        # min over every discarded/evicted key per lane, i.e. the best
+        # non-candidate; the top-k is exact iff no lane's best
+        # non-candidate beats the k-th candidate key.
+        flagged = jnp.any(outp[r, :, :nq] < tau_k[None, :], axis=0)
         return dists, ids, flagged
     else:
         kern = functools.partial(_scan_kernel, rows=rows, r=r,

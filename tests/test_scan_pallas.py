@@ -169,16 +169,22 @@ def test_pack32_gaussian_within_truncation(rng):
 
 def test_prered_topk_equals_sorted_head(rng):
     """The discard-half reduction == per-lane full sort's smallest
-    ``keep``, sorted descending — for every (rows, keep) shape class."""
+    ``keep``, sorted descending, and the discard-min == the
+    (keep+1)-th smallest — for every (rows, keep) shape class."""
     from rayuela_tpu.search.scan_pallas import _prered_topk
     for rows, keep in [(8, 2), (8, 4), (16, 4), (32, 2), (32, 4),
                        (32, 8), (4, 4), (16, 16)]:
         kv = rng.integers(-2**31, 2**31 - 1, (rows, 16, 8),
                           dtype=np.int32)
-        out = np.asarray(jax.jit(
-            lambda v: _prered_topk(v, keep))(jnp.asarray(kv)))
-        ref = np.sort(kv, axis=0)[:keep][::-1]       # keep smallest, desc
-        np.testing.assert_array_equal(out, ref)
+        out, dmin = jax.jit(
+            lambda v: _prered_topk(v, keep))(jnp.asarray(kv))
+        srt = np.sort(kv, axis=0)
+        ref = srt[:keep][::-1]                       # keep smallest, desc
+        np.testing.assert_array_equal(np.asarray(out), ref)
+        if rows == keep:
+            assert dmin is None
+        else:
+            np.testing.assert_array_equal(np.asarray(dmin), srt[keep])
 
 
 def test_prered_matches_brute_force(rng):
