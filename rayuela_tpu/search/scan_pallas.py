@@ -18,9 +18,13 @@ set it apart from both the reference and the pure-XLA fallback
    vector lane* (position mod 128), maintained by static bitonic
    sort/merge networks on the VPU — which overlaps with the next tile's
    MXU matmul. The scan emits (Bq, R, 128) candidates; the true top-k
-   is inside them unless some lane held more than R of it. A cheap
-   **verification kernel** counts, per lane, how many scores fall below
-   the global k-th value; any query with an overflowing lane is re-run
+   is inside them unless some lane held more than R of it (or, with
+   ``keep`` pre-reduction, some (lane, tile) held more than keep).
+   Exactness is certified per query: the packed kernels accumulate the
+   min over every key they discard or evict (one extra output row), so
+   a query is flagged iff its best non-candidate beats its k-th
+   candidate — precisely when the answer could be wrong; the f32 mode
+   runs a separate counting kernel instead. Flagged queries re-run
    through the exact XLA path. The combined result is exact, always.
 
 Scratch persists across the tile grid dimension (TPU grids execute
