@@ -11,10 +11,11 @@ Emits one JSON line per metric: ``{"metric", "value", "unit",
   decoded index, verification included (exact for bf16-rounded scores).
   vs_baseline divides by a documented ~2,000 qps estimate of the
   reference's 16-core OpenMP scan (no number is published in-repo).
-* ``codes_scan_qps_sift1m_m8_knn1000`` — same protocol on the
-  CODE-RESIDENT index (`search/scan_codes_pallas`): ~8 MB of packed
-  codes on chip instead of a 512 MB decode; this is the apples-to-apples
-  memory model vs the reference's LUT scan.
+* ``codes_scan_qps_sift1m_m8_knn1000`` / ``..._m16_knn1000`` — same
+  protocol on the CODE-RESIDENT index (`search/scan_codes_pallas`):
+  ~8/16 MB of packed codes on chip instead of a 512 MB decode; this is
+  the apples-to-apples memory model vs the reference's LUT scan, at
+  both the 64-bit and 128-bit code sizes.
 * ``icm_encode_vps_m8`` / ``_m16`` — LSQ-family ILS/ICM encode
   (ilsiter=8, icmiter=4, npert=4; reference
   `demos/demos_train_query_base.jl:64-67`) in vectors/s on the Pallas
@@ -107,22 +108,27 @@ def bench_scan_codes(jax, jnp, rng, C, B, Q):
     from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
                                                       search_codes)
 
-    idx = build_codes_index(C, B, pq=True, d=D)
-    jax.block_until_ready(idx.packed)
-    try:
-        out = search_codes(idx, Q, KNN)
-        _ = np.asarray(out[0][0, :1])
-    except Exception as e:
-        print(f"# codes-resident path unavailable "
-              f"({type(e).__name__}: {e})", flush=True)
-        return
-    def call():
-        out = search_codes(idx, Q, KNN)
-        jax.block_until_ready(out)
-        _ = np.asarray(out[0][0, 0])
-    qps = NQ / _best_of(call)
-    emit("codes_scan_qps_sift1m_m8_knn1000", qps, "queries/s",
-         qps / SCAN_BASELINE_QPS)
+    C16 = jnp.asarray(rng.standard_normal((16, H, D // 16)), jnp.float32)
+    B16 = jnp.asarray(rng.integers(0, H, size=(N, 16)), jnp.int32)
+    for m, Cm, Bm in ((M, C, B), (16, C16, B16)):
+        idx = build_codes_index(Cm, Bm, pq=True, d=D)
+        jax.block_until_ready(idx.packed)
+        try:
+            out = search_codes(idx, Q, KNN)
+            _ = np.asarray(out[0][0, :1])
+        except Exception as e:
+            print(f"# codes-resident path m={m} unavailable "
+                  f"({type(e).__name__}: {e})", flush=True)
+            continue
+
+        def call(idx=idx):
+            out = search_codes(idx, Q, KNN)
+            jax.block_until_ready(out)
+            _ = np.asarray(out[0][0, 0])
+        qps = NQ / _best_of(call)
+        emit(f"codes_scan_qps_sift1m_m{m}_knn1000", qps, "queries/s",
+             qps / SCAN_BASELINE_QPS)
+        del idx
 
 
 def bench_encode(jax, jnp, rng):
