@@ -207,3 +207,48 @@ def test_kernel_prered_matches_xla_lut_scan(rng):
     ref = np.sort(s64, axis=1)[:, :k]
     np.testing.assert_allclose(picked[ok], ref[ok], rtol=3e-3,
                                atol=3e-3)
+
+
+def test_decode_mode_pq_matches_brute(rng):
+    """In-kernel-decode codes scan (PQ): true distances vs numpy."""
+    from rayuela_tpu.search.scan_codes_pallas import (CodesIndex,
+                                                      build_codes_index,
+                                                      search_codes)
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    d, m, h, n, nq, k = 32, 4, 16, 20_000, 9, 30
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True, d=d)
+    dists, ids = search_codes(idx, jnp.asarray(Q), k, interpret=True,
+                              mode="decode", lut_dtype=jnp.float32,
+                              r=28, bq=8, tile=1024, keep=4)
+    Xd = np.asarray(reconstruct_pq(jnp.asarray(C), jnp.asarray(B), d))
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    picked = np.take_along_axis(D, np.asarray(ids), axis=1)
+    ref = np.sort(D, axis=1)[:, :k]
+    np.testing.assert_allclose(picked, ref, rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(dists), ref, rtol=3e-3,
+                               atol=3e-3)
+
+
+def test_decode_mode_additive_with_norms_matches_lut_mode(rng):
+    """Additive + quantized-norms byte: decode mode == LUT mode (same
+    score model, f32 operands)."""
+    from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
+                                                      search_codes)
+    d, m, h, n, nq, k = 24, 3, 16, 8_000, 7, 25
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    nrm_cb = np.sort(rng.random(8).astype(np.float32) * 20)
+    nrm_codes = rng.integers(0, 8, n).astype(np.int32)
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B),
+                            norms_cbook=jnp.asarray(nrm_cb),
+                            norms_codes=jnp.asarray(nrm_codes))
+    d1, i1 = search_codes(idx, jnp.asarray(Q), k, interpret=True,
+                          mode="decode", lut_dtype=jnp.float32,
+                          r=28, bq=8, tile=1024, keep=4)
+    d2, i2 = search_codes(idx, jnp.asarray(Q), k, interpret=True,
+                          mode="lut", lut_dtype=jnp.float32,
+                          r=28, bq=8, tile=1024, keep=4, pack=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-4, atol=1e-3)
