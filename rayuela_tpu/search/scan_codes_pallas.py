@@ -610,6 +610,28 @@ def build_codes_index(C: Array, B: Array, *, pq: bool = False,
                       norms_cbook=norms_cbook)
 
 
+def _codes_auto_config(k: int, nq: int, pack: bool, mode: str):
+    """Measured-best (r, bq, tile, keep) for the code-resident kernels
+    (1x v5e sweeps, demos/bench_codes_tune.py 2026-08-17: knn=1000
+    11.1k qps at (24, 256, 1024), knn=100 15.9k at (8, 512, 1024);
+    the LUT block scales with bq, so bq caps at 512 in lut mode).
+    Decode mode amortizes its per-tile decode over bq, so it prefers
+    the wider blocks (retune pending in demos/bench_codes_decode.py)."""
+    if not pack:
+        return (16 if k <= 512 else 48), 128, 2048, 0
+    if mode == "decode":
+        if k <= 512:
+            r, bq, tile, keep = 14, 512, 2048, 2
+        else:
+            r, bq, tile, keep = 28, 256, 2048, 4
+    elif k <= 512:
+        r, bq, tile, keep = 14, 512, 1024, 2
+    else:
+        r, bq, tile, keep = 28, 256, 1024, 4
+    bqnq = max(128, 1 << (nq - 1).bit_length())
+    return r, min(bq, bqnq), tile, keep
+
+
 def search_codes(index: CodesIndex, Q: Array, k: int, *,
                  r: int | None = None, bq: int | None = None,
                  tile: int | None = None, interpret: bool = False,
@@ -623,16 +645,14 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
     for compiled TPU runs) packs (score, row id) into one int32
     selection key — exact for the truncated scores.
 
-    ``r``/``bq``/``tile`` default to the measured-best configuration
-    (1x v5e sweep, demos/bench_codes_tune.py, 2026-08-17: knn=1000
-    11.1k qps at (24, 256, 1024), knn=100 15.9k at (8, 512, 1024);
-    bq=1024 exceeds VMEM here — the LUT block scales with bq)."""
-    from rayuela_tpu.search.scan_pallas import _auto_config
+    ``r``/``bq``/``tile``/``keep`` default to the measured-best
+    configuration per mode (`_codes_auto_config`)."""
     if pack is None:
         pack = not interpret
-    ar, abq, atile, akeep = _auto_config(k, Q.shape[0], pack)
+    ar, abq, atile, akeep = _codes_auto_config(k, Q.shape[0], pack,
+                                               mode)
     r = ar if r is None else r
-    bq = min(abq, 512) if bq is None else bq
+    bq = abq if bq is None else bq
     tile = atile if tile is None else tile
     keep = akeep if keep is None else keep
     d = Q.shape[1] if index.d in (-1, None) else index.d

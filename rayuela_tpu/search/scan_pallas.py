@@ -660,32 +660,40 @@ class LinscanIndex:
 
 def build_index(C: Array, B: Array, *, pq: bool = False,
                 d: int | None = None, norm_term: Array | None = None,
-                dtype=jnp.float32) -> LinscanIndex:
+                dtype=None) -> LinscanIndex:
+    """``dtype=None`` picks bf16 on TPU (half the HBM and DMA, double
+    the MXU rate; scores keep f32 accumulation — with pack32's 19-bit
+    truncation the extra rounding is in the same error class) and f32
+    elsewhere (CPU tests compare exactly)."""
+    if dtype is None:
+        dtype = (jnp.float32 if jax.default_backend() == "cpu"
+                 else jnp.bfloat16)
     Xd, x2 = decode_base(C, B, pq=pq, d=d, norm_term=norm_term,
                          dtype=dtype)
     return LinscanIndex(Xd, x2)
 
 
-def _auto_config(k: int, nq: int, pack: bool):
-    """Measured-best (r, bq, tile, keep) per k class (1x v5e sweep,
-    demos/bench_scan_tune.py, 2026-08-17): shallow tiles + wide query
-    blocks win — packed keys halve buffer VMEM, which is what makes
-    the wide-bq configs compile. k=100: 40.8k qps at (8, 1024, 1024);
-    k=1000: 18.8k at (24, 256, 1024); r+tile/128 must be a power of
-    two. f32 mode keeps the round-1 configs (its buffers are 2x).
-    ``keep`` (tile pre-reduction) currently defaults off pending the
-    hardware sweep in demos/bench_prered.py."""
+def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False):
+    """Measured-best (r, bq, tile, keep) per k class (1x v5e sweeps,
+    demos/bench_prered.py + /tmp/cert2 follow-up, 2026-08-17). With
+    keep pre-reduction + the in-scan certificate: k=100 68.8k qps at
+    (14, 256, 4096, keep=2) on a bf16 index, k=1000 32.4k at
+    (28, 256, 4096, keep=4). The tile=4096 configs exceed VMEM with an
+    f32 index (the compiler crashes), so f32 falls back to the
+    measured tile=2048 equivalents (67k / 31k). f32+i32 selection mode
+    keeps the round-1 configs (its buffers are 2x)."""
     if not pack:
         return (16 if k <= 512 else 48), 128, 2048, 0
+    tile = 2048 if f32_index else 4096
     if k <= 512:
-        r, bq = 8, 1024
-    elif k <= 24 * LANES:
-        r, bq = 24, 256
+        r, bq, keep = 14, (512 if f32_index else 256), 2
+    elif k <= 28 * LANES:
+        r, bq, keep = 28, 256, 4
     else:
-        r, bq = 56, 128
+        r, bq, keep = 56, 128, 8
     # don't pad tiny query batches up to a huge block
     bqnq = max(128, 1 << (nq - 1).bit_length())
-    return r, min(bq, bqnq), 1024, 0
+    return r, min(bq, bqnq), tile, keep, 0
 
 
 def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
@@ -707,7 +715,8 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     (see `pallas_scan_topk`)."""
     if pack is None:
         pack = not interpret
-    ar, abq, atile, akeep = _auto_config(k, Q.shape[0], pack)
+    ar, abq, atile, akeep = _auto_config(
+        k, Q.shape[0], pack, f32_index=index.Xd.dtype == jnp.float32)
     r = ar if r is None else r
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile
