@@ -620,10 +620,13 @@ def _codes_auto_config(k: int, nq: int, pack: bool, mode: str):
     if not pack:
         return (16 if k <= 512 else 48), 128, 2048, 0
     if mode == "decode":
+        # v5e sweep demos/bench_codes_decode.py 2026-08-17: m8 k=1000
+        # 21.6k qps at (28,256,4096,4); k=100 38.3k at (14,512,2048,2)
+        # (t4096 is worse there); m16 16.2k / 29.6k on the same configs
         if k <= 512:
             r, bq, tile, keep = 14, 512, 2048, 2
         else:
-            r, bq, tile, keep = 28, 256, 2048, 4
+            r, bq, tile, keep = 28, 256, 4096, 4
     elif k <= 512:
         r, bq, tile, keep = 14, 512, 1024, 2
     else:
@@ -637,18 +640,25 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                  tile: int | None = None, interpret: bool = False,
                  lut_dtype=jnp.bfloat16, pack: bool | None = None,
                  keep: int | None = None,
-                 mode: str = "lut") -> tuple[Array, Array]:
-    """Exact top-k (for the LUT scores) over a packed-code index:
+                 mode: str | None = None) -> tuple[Array, Array]:
+    """Exact top-k (for the kernel scores) over a packed-code index:
     fused kernel + XLA LUT re-scan for flagged queries. Returns true
     squared distances for PQ/additive-with-norms conventions (adds the
     +|q|^2 constant, like `scan_pallas.search`). ``pack`` (default: on
     for compiled TPU runs) packs (score, row id) into one int32
     selection key — exact for the truncated scores.
 
-    ``r``/``bq``/``tile``/``keep`` default to the measured-best
-    configuration per mode (`_codes_auto_config`)."""
+    ``mode``: ``"decode"`` (default where packed row ids fit — the
+    in-kernel-decode kernel, 1.4-1.7x the LUT mode on hardware) or
+    ``"lut"`` (per-query tables; also the fallback for shard sizes
+    beyond the packed-id range). ``r``/``bq``/``tile``/``keep``
+    default to the measured-best configuration per mode
+    (`_codes_auto_config`)."""
     if pack is None:
         pack = not interpret
+    if mode is None:
+        npad0 = cdiv(index.n, 2048) * 2048
+        mode = "decode" if _pack_idbits(True, npad0) else "lut"
     ar, abq, atile, akeep = _codes_auto_config(k, Q.shape[0], pack,
                                                mode)
     r = ar if r is None else r
