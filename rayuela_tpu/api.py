@@ -171,9 +171,15 @@ def index_base(model: MCQModel, Xb, key=None, mode: str = "decoded",
     return MCQIndex(model, B, idx, norms_cb, norm_codes, mode=mode)
 
 
-def search(index: MCQIndex, Q, k: int = 100,
+def search(index: MCQIndex, Q, k: int = 100, mesh=None,
            **kw) -> tuple[Array, Array]:
-    """Top-k ADC search (rotates queries when the model has R)."""
+    """Top-k ADC search (rotates queries when the model has R).
+
+    Pass ``mesh`` (a `rayuela_tpu.parallel.mesh.make_mesh` result) to
+    run the search data-parallel across the mesh's chips: the index
+    shards over the ``data`` axis, local top-k lists merge with one
+    all-gather, and certificate-flagged queries re-run exactly —
+    the same exactness contract as the single-chip path."""
     from rayuela_tpu.search import linscan
     from rayuela_tpu.search import scan_codes_pallas, scan_pallas
 
@@ -185,6 +191,25 @@ def search(index: MCQIndex, Q, k: int = 100,
         Q = jnp.matmul(Q, index.model.R,
                        preferred_element_type=jnp.float32)
     k = min(k, index.scan_index.n)
+    if mesh is not None:
+        from rayuela_tpu.parallel import mesh as pmesh
+
+        if index.mode == "codes":
+            d = Q.shape[1] if index.scan_index.d in (-1, None) \
+                else index.scan_index.d
+            T = scan_codes_pallas.build_luts(
+                index.model.codebooks, Q, pq=index.model.pq_layout,
+                d=d, norms_cbook=index.norms_codebook)
+            s, i, fl = pmesh.sharded_search_codes(
+                mesh, T, index.scan_index.packed, k=k, **kw)
+            q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
+            return s + q2, i
+        nt = (None if index.norms_codebook is None else
+              jnp.take(index.norms_codebook, index.norm_codes))
+        return pmesh.sharded_search_exact(
+            mesh, index.scan_index.Xd, index.scan_index.x2, Q, k=k,
+            C=index.model.codebooks, B=index.codes,
+            pq=index.model.pq_layout, norm_term=nt, **kw)
     if index.mode == "codes":
         if jax.default_backend() == "cpu":
             kw.setdefault("interpret", True)

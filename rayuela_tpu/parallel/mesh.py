@@ -263,6 +263,32 @@ def sharded_search_codes(mesh: Mesh, T: Array, packed: Array, *,
     return fn(T, Pp)
 
 
+def sharded_search_exact(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
+                         C: Array | None = None, B: Array | None = None,
+                         pq: bool = False,
+                         norm_term: Array | None = None,
+                         k: int, **kw) -> tuple[Array, Array]:
+    """`sharded_search` plus the single-chip contract: queries the
+    certificate flags re-run through the exact XLA sharded scan
+    (needs ``C``/``B`` to rebuild scores) or an exact decoded rescan
+    over the gathered rows when codes are not provided. Returns
+    ``(dists, ids)`` exact, always."""
+    d, i, fl = sharded_search(mesh, Xd, x2, Q, k=k, **kw)
+    flagged = np.asarray(fl)
+    if flagged.any():
+        qidx = np.nonzero(flagged)[0]
+        Qf = jnp.asarray(Q)[qidx]
+        if C is not None and B is not None:
+            d2, i2 = sharded_scan_topk(mesh, Qf, C, B, k=k, pq=pq,
+                                       norm_term=norm_term)
+        else:
+            from rayuela_tpu.search.linscan import exact_rescan
+            d2, i2 = exact_rescan(Qf, Xd, x2, k=min(k, Xd.shape[0]))
+        d = d.at[qidx].set(d2)
+        i = i.at[qidx].set(i2)
+    return d, i
+
+
 @partial(jax.jit, static_argnames=("h",), donate_argnums=(1,))
 def pq_lloyd_step_sharded(Xs: Array, centers: Array, h: int):
     """One data-parallel + model-parallel Lloyd step over all m subspace

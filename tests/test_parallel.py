@@ -179,3 +179,43 @@ def test_launch_single_process_fallbacks(rng, mesh):
     xg = host_local_to_global(gm, x)
     np.testing.assert_array_equal(np.asarray(xg), x)
     assert xg.sharding.spec == P("data", None)
+
+
+def test_api_search_with_mesh_matches_single(rng, mesh):
+    """Facade `api.search(..., mesh=...)`: sharded results == the
+    exact brute-force top-k (decoded mode, interpret kernels)."""
+    from rayuela_tpu import api
+    d, m, h = 16, 4, 16
+    Xt = rng.standard_normal((600, d)).astype(np.float32)
+    Xb = rng.standard_normal((2000, d)).astype(np.float32)
+    Q = rng.standard_normal((7, d)).astype(np.float32)
+    model = api.train(Xt, method="pq", m=m, h=h, niter=3)
+    idx = api.index_base(model, Xb)
+    d1, i1 = api.search(idx, Q, k=15)
+    d2, i2 = api.search(idx, Q, k=15, mesh=mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-4, atol=1e-3)
+    # ids may permute only among equal decoded rows; check scores of
+    # picked ids match
+    Xd = np.asarray(idx.scan_index.Xd)
+    x2 = np.asarray(idx.scan_index.x2)
+    D = (-2.0 * np.asarray(Q) @ Xd.T + x2[None]
+         + (np.asarray(Q) ** 2).sum(-1, keepdims=True))
+    picked = np.take_along_axis(D, np.asarray(i2), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(d2), rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_api_search_codes_with_mesh_matches_single(rng, mesh):
+    from rayuela_tpu import api
+    d, m, h = 16, 4, 16
+    Xt = rng.standard_normal((600, d)).astype(np.float32)
+    Xb = rng.standard_normal((1500, d)).astype(np.float32)
+    Q = rng.standard_normal((5, d)).astype(np.float32)
+    model = api.train(Xt, method="pq", m=m, h=h, niter=3)
+    idx = api.index_base(model, Xb, mode="codes")
+    d1, i1 = api.search(idx, Q, k=10)
+    d2, i2 = api.search(idx, Q, k=10, mesh=mesh, interpret=True,
+                        lut_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-4, atol=1e-3)
