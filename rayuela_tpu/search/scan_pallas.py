@@ -693,7 +693,7 @@ def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False):
         r, bq, keep = 56, 128, 8
     # don't pad tiny query batches up to a huge block
     bqnq = max(128, 1 << (nq - 1).bit_length())
-    return r, min(bq, bqnq), tile, keep, 0
+    return r, min(bq, bqnq), tile, keep
 
 
 def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,

@@ -250,3 +250,25 @@ def test_pack32_key_roundtrip(rng):
     assert (np.diff(xs) >= 0).all()
     np.testing.assert_array_equal(
         np.asarray(_unsortable_key(jnp.asarray(k))), x)
+
+
+def test_auto_config_valid_across_k_classes():
+    """Every auto configuration must satisfy the kernel's static
+    constraints (so the TPU path never falls back for a config bug)."""
+    from rayuela_tpu.search.scan_pallas import LANES, _auto_config
+    for k in (1, 10, 100, 512, 513, 1000, 3000, 28 * 128, 28 * 128 + 1,
+              56 * 128):
+        for nq in (1, 7, 128, 2000, 10_000):
+            for pack in (False, True):
+                for f32 in (False, True):
+                    r, bq, tile, keep = _auto_config(k, nq, pack, f32)
+                    rows = tile // LANES
+                    assert rows & (rows - 1) == 0
+                    assert bq >= 1
+                    kmax = (56 if pack else 48) * LANES
+                    assert k <= r * LANES or k > kmax
+                    if pack and keep:
+                        assert keep & (keep - 1) == 0 and keep <= rows
+                        assert (r + keep) & (r + keep - 1) == 0
+                    else:
+                        assert (r + rows) & (r + rows - 1) == 0
