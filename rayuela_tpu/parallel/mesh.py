@@ -200,7 +200,8 @@ def sharded_search(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
 @_functools.lru_cache(maxsize=64)
 def _sharded_search_codes_fn(mesh: Mesh, n: int, shard_n: int,
                              klocal: int, k: int, r: int, bq: int,
-                             tile: int, lut_dtype, interpret: bool):
+                             tile: int, lut_dtype, interpret: bool,
+                             pack: bool, keep: int):
     from jax import shard_map
 
     from rayuela_tpu.search.scan_codes_pallas import pallas_scan_codes_topk
@@ -210,7 +211,8 @@ def _sharded_search_codes_fn(mesh: Mesh, n: int, shard_n: int,
     def local(T, packed):
         d, i, fl = pallas_scan_codes_topk(
             T, packed, k=klocal, r=r, bq=bq, tile=tile, verify=True,
-            interpret=interpret, lut_dtype=lut_dtype)
+            interpret=interpret, lut_dtype=lut_dtype, pack=pack,
+            keep=keep)
         shard = jax.lax.axis_index("data")
         i = i + shard * shard_n
         d = jnp.where(i < n, d, jnp.inf)
@@ -230,9 +232,10 @@ def _sharded_search_codes_fn(mesh: Mesh, n: int, shard_n: int,
 
 
 def sharded_search_codes(mesh: Mesh, T: Array, packed: Array, *,
-                         k: int, r: int | None = None, bq: int = 128,
-                         tile: int = 2048, lut_dtype=None,
-                         interpret: bool = False):
+                         k: int, r: int | None = None,
+                         bq: int | None = None, tile: int | None = None,
+                         lut_dtype=None, interpret: bool = False,
+                         pack: bool | None = None):
     """Multi-chip CODE-RESIDENT search: packed uint8 codes shard over
     ``data`` (each chip holds n/P * ~m bytes — a SIFT1B-class base at
     m=8 is ~1.1 GB/chip on an 8-chip slice), the per-query LUT stack
@@ -246,10 +249,10 @@ def sharded_search_codes(mesh: Mesh, T: Array, packed: Array, *,
     the +|q|^2 constant."""
     import jax.numpy as _jnp
 
+    from rayuela_tpu.search.scan_codes_pallas import _codes_auto_config
+
     if lut_dtype is None:
         lut_dtype = _jnp.bfloat16
-    if r is None:
-        r = 16 if k <= 512 else 48
     ndata = mesh.shape["data"]
     Pp, n = pad_to_multiple(packed, ndata)
     shard_n = Pp.shape[0] // ndata
@@ -258,8 +261,16 @@ def sharded_search_codes(mesh: Mesh, T: Array, packed: Array, *,
     # i < n mask after the scan, so over-fetch by the pad count to keep
     # the merge exact even if they rank high.
     klocal = min(k + (Pp.shape[0] - n), shard_n)
+    if pack is None:
+        pack = not interpret
+    ar, abq, atile, akeep = _codes_auto_config(klocal, T.shape[2],
+                                               pack, "lut")
+    r = ar if r is None else r
+    bq = abq if bq is None else bq
+    tile = atile if tile is None else tile
     fn = _sharded_search_codes_fn(mesh, n, shard_n, klocal, k, r, bq,
-                                  tile, lut_dtype, interpret)
+                                  tile, lut_dtype, interpret, pack,
+                                  akeep if pack else 0)
     return fn(T, Pp)
 
 
