@@ -70,8 +70,11 @@ def codebook_stats(X: Array, B: Array, h: int = 256,
         Xc = lax.dynamic_slice_in_dim(X, i * chunk, chunk)
         Bc = lax.dynamic_slice_in_dim(B, i * chunk, chunk)
         U = jax.nn.one_hot(Bc, h, dtype=jnp.float32).reshape(chunk, mh)
+        # G is exact at any precision (0/1 products, f32 accumulation);
+        # F needs HIGHEST or the default bf16 pass rounds X's values
         G = G + jnp.matmul(U.T, U, preferred_element_type=jnp.float32)
-        F = F + jnp.matmul(U.T, Xc, preferred_element_type=jnp.float32)
+        F = F + jnp.matmul(U.T, Xc, preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
         return G, F
 
     G0 = jnp.zeros((mh, mh), jnp.float32)
@@ -81,10 +84,22 @@ def codebook_stats(X: Array, B: Array, h: int = 256,
 
 @partial(jax.jit, static_argnames=("h", "rho"))
 def _solve_direct(G: Array, F: Array, h: int, rho: float) -> Array:
+    """Ridge solve of the normal equations.
+
+    Two numerical guards both matter on TPU (without them the solve
+    intermittently explodes at protocol scale — observed 9.4 -> 5e11
+    qerror in one update): the LU factorization must run at HIGHEST
+    matmul precision (the default single-bf16-pass matmul cannot
+    factor a cond ~n/rho matrix; G is near-singular by construction —
+    each codebook's one-hot columns sum to the same all-ones vector),
+    and the ridge must scale with G (counts grow with n, so an
+    absolute 1e-4 vanishes relative to diag ~n/h)."""
     mh, d = F.shape
     m = mh // h
-    A = G + rho * jnp.eye(mh, dtype=jnp.float32)
-    C = jnp.linalg.solve(A, F)               # (mh, d)
+    scale = jnp.maximum(jnp.mean(jnp.diagonal(G)), 1.0)
+    A = G + (rho * scale) * jnp.eye(mh, dtype=jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        C = jnp.linalg.solve(A, F)           # (mh, d)
     return C.reshape(m, h, d)
 
 
@@ -92,11 +107,16 @@ def _solve_cg(G: Array, F: Array, h: int, rho: float, maxiter: int) -> Array:
     """Matrix-free CG on the (ridged) normal equations — the TPU
     equivalent of the reference's per-dimension LSQR/LSMR farmed to
     Distributed workers (`src/codebook_update.jl:235-278`): all d
-    right-hand sides solve in one batched CG instead."""
+    right-hand sides solve in one batched CG instead. Same precision /
+    relative-ridge guards as `_solve_direct` (bf16-pass matvecs stall
+    CG on ill-conditioned G)."""
     mh, d = F.shape
     m = mh // h
-    A = G + rho * jnp.eye(mh, dtype=jnp.float32)
-    C, _ = jax.scipy.sparse.linalg.cg(lambda v: A @ v, F, maxiter=maxiter)
+    scale = jnp.maximum(jnp.mean(jnp.diagonal(G)), 1.0)
+    A = G + (rho * scale) * jnp.eye(mh, dtype=jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        C, _ = jax.scipy.sparse.linalg.cg(lambda v: A @ v, F,
+                                          maxiter=maxiter)
     return C.reshape(m, h, d)
 
 
@@ -147,7 +167,9 @@ def _chain_solve(G: Array, F: Array, *, h: int, d: int, m: int,
     All m-1 solves batch through one vmapped LU."""
     sub = chain_dims(d, m)
     ds_max = max(s for _, s in sub)
-    eye = rho * jnp.eye(2 * h, dtype=jnp.float32)
+    # relative ridge + HIGHEST-precision LU: see `_solve_direct`
+    scale = jnp.maximum(jnp.mean(jnp.diagonal(G)), 1.0)
+    eye = (rho * scale) * jnp.eye(2 * h, dtype=jnp.float32)
 
     Gs = jnp.stack([G[i * h:(i + 2) * h, i * h:(i + 2) * h] + eye
                     for i in range(m - 1)])
@@ -155,7 +177,8 @@ def _chain_solve(G: Array, F: Array, *, h: int, d: int, m: int,
         jnp.pad(lax.dynamic_slice(F, (i * h, st), (2 * h, sz)),
                 ((0, 0), (0, ds_max - sz)))
         for i, (st, sz) in enumerate(sub)])
-    sols = jnp.linalg.solve(Gs, Fs)                     # (m-1, 2h, ds_max)
+    with jax.default_matmul_precision("highest"):
+        sols = jnp.linalg.solve(Gs, Fs)                 # (m-1, 2h, ds_max)
 
     C = jnp.zeros((m, h, d), jnp.float32)
     for i, (st, sz) in enumerate(sub):
@@ -235,11 +258,13 @@ def update_codebooks_generic(X: Array, B: Array, h: int,
             groups.setdefault(key, []).append(i)
 
     C = jnp.zeros((m, h, d), jnp.float32)
+    scale = jnp.maximum(jnp.mean(jnp.diagonal(G)), 1.0)
     for cbs, dims in groups.items():
         cols = np.concatenate([np.arange(c * h, (c + 1) * h) for c in cbs])
-        A = G[np.ix_(cols, cols)] + rho * jnp.eye(len(cols),
-                                                  dtype=jnp.float32)
-        sol = jnp.linalg.solve(A, F[cols][:, np.asarray(dims)])
+        A = G[np.ix_(cols, cols)] + (rho * scale) * jnp.eye(
+            len(cols), dtype=jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            sol = jnp.linalg.solve(A, F[cols][:, np.asarray(dims)])
         for j, c in enumerate(cbs):
             C = C.at[c, :, np.asarray(dims)].set(sol[j * h:(j + 1) * h].T)
     return C
