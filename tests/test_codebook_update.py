@@ -145,3 +145,22 @@ def test_chain_matches_full_solve_on_chain_dims(rng):
                                    rtol=2e-2, atol=2e-2)
         np.testing.assert_allclose(C[i + 1][:, st:st + sz], sol[h:],
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_update_codebooks_scale_invariant_ridge(rng):
+    """Duplicating every vector scales (G, F) uniformly; with the
+    ridge relative to diag(G) the solution must not change (an
+    absolute ridge silently de-regularizes as n grows — the TPU-scale
+    LSQ divergence of round 2)."""
+    import jax.numpy as jnp
+
+    from rayuela_tpu.ops.codebook_update import update_codebooks
+    from tests.conftest import random_dataset
+    X, C, B = random_dataset(rng, d=12, n=300, m=3, h=8)
+    X, B = jnp.asarray(X), jnp.asarray(B)
+    C1 = update_codebooks(X, B, h=8)
+    Xd = jnp.concatenate([X] * 50)
+    Bd = jnp.concatenate([B] * 50)
+    C2 = update_codebooks(Xd, Bd, h=8)
+    np.testing.assert_allclose(np.asarray(C1), np.asarray(C2),
+                               rtol=2e-4, atol=2e-4)
