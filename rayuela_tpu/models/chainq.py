@@ -63,7 +63,8 @@ def train_chainq(X: Array, B0: Array, R0: Array, h: int = 256,
         obj = obj.at[it].set(qerror(RX, C, B))
         Xhat = reconstruct(C, B)                          # decode, (n, d)
         U, _, Vt = jnp.linalg.svd(
-            jnp.matmul(X.T, Xhat, preferred_element_type=jnp.float32),
+            jnp.matmul(X.T, Xhat, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST),
             full_matrices=False)
         R = jnp.matmul(U, Vt, preferred_element_type=jnp.float32)
         RX = jnp.matmul(X, R, preferred_element_type=jnp.float32)

@@ -86,7 +86,8 @@ def train_opq(key: Array, X: Array, m: int, h: int = 256,
         obj = obj.at[it].set(jnp.mean(jnp.sum((Xr - Xhat) ** 2, axis=-1)))
         # rotation update: R = U V^T from svd(X^T Xhat)
         U, _, Vt = jnp.linalg.svd(
-            jnp.matmul(X.T, Xhat, preferred_element_type=jnp.float32),
+            jnp.matmul(X.T, Xhat, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST),
             full_matrices=False)
         R = jnp.matmul(U, Vt, preferred_element_type=jnp.float32)
         # one Lloyd step per subspace on the re-rotated data
