@@ -136,7 +136,8 @@ def update_codebooks(X: Array, B: Array, h: int = 256,
     if method == "naive":
         # Dense backslash semantics (`:47-60`): minimum-norm LS, no ridge.
         mh, d = F.shape
-        C = jnp.linalg.lstsq(G, F)[0]
+        with jax.default_matmul_precision("highest"):
+            C = jnp.linalg.lstsq(G, F)[0]
         return C.reshape(mh // h, h, d)
     if method in ("lsqr", "lsmr"):
         # G is singular without ridge (each codebook's one-hot columns
