@@ -610,6 +610,10 @@ def build_codes_index(C: Array, B: Array, *, pq: bool = False,
                       norms_cbook=norms_cbook)
 
 
+# decode-mode segment size: 2^16 row ids x 128 lanes (test-patchable)
+_DECODE_SEG = (1 << 16) * LANES
+
+
 def _codes_auto_config(k: int, nq: int, pack: bool, mode: str):
     """Measured-best (r, bq, tile, keep) for the code-resident kernels
     (1x v5e sweeps, demos/bench_codes_tune.py 2026-08-17: knn=1000
@@ -657,8 +661,7 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
     if pack is None:
         pack = not interpret
     if mode is None:
-        npad0 = cdiv(index.n, 2048) * 2048
-        mode = "decode" if _pack_idbits(True, npad0) else "lut"
+        mode = "decode"
     ar, abq, atile, akeep = _codes_auto_config(k, Q.shape[0], pack,
                                                mode)
     r = ar if r is None else r
@@ -667,13 +670,52 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
     keep = akeep if keep is None else keep
     d = Q.shape[1] if index.d in (-1, None) else index.d
     if mode == "decode":
+        # Packed row ids span 16 bits (8.4M rows/call); bigger bases
+        # run in segments with an exact host-side top-k merge — the
+        # single-chip analogue of the reference's nsplits tiling, at
+        # code-resident memory (no decode ever materializes).
+        seg = _DECODE_SEG
         Cf, nrm = build_decode_operands(
             index.C, pq=index.pq, d=d, norms_cbook=index.norms_cbook,
             op_dtype=lut_dtype)
-        scores, ids, flagged = pallas_scan_codes_decode_topk(
-            jnp.asarray(Q), Cf, nrm, index.packed, k=k, pq=index.pq,
-            r=r, bq=bq, tile=tile, keep=keep if keep else 0,
-            verify=True, interpret=interpret, op_dtype=lut_dtype)
+        Qj = jnp.asarray(Q)
+        q2 = jnp.sum(Qj * Qj, axis=-1, keepdims=True)
+
+        def one_segment(packed_seg, kseg):
+            s, i, fl = pallas_scan_codes_decode_topk(
+                Qj, Cf, nrm, packed_seg, k=kseg, pq=index.pq, r=r,
+                bq=bq, tile=tile, keep=keep if keep else 0,
+                verify=True, interpret=interpret, op_dtype=lut_dtype)
+            fl = np.asarray(fl)
+            if fl.any():
+                qidx = np.nonzero(fl)[0]
+                Tf = build_luts(index.C, Qj[qidx], pq=index.pq, d=d,
+                                norms_cbook=index.norms_cbook)
+                s2, i2 = xla_lut_scan(Tf, unpack_codes(packed_seg,
+                                                       index.mprime),
+                                      kseg, lut_dtype=lut_dtype)
+                s = s.at[qidx].set(s2)
+                i = i.at[qidx].set(i2)
+            return np.asarray(s), np.asarray(i)
+
+        if index.n <= seg:
+            s, i = one_segment(index.packed, k)
+            return jnp.asarray(s) + q2, jnp.asarray(i)
+        best_s = best_i = None
+        for start in range(0, index.n, seg):
+            stop = min(start + seg, index.n)
+            s, i = one_segment(index.packed[start:stop],
+                               min(k, stop - start))
+            i = i + start
+            if best_s is None:
+                best_s, best_i = s, i
+            else:
+                cat_s = np.concatenate([best_s, s], axis=1)
+                cat_i = np.concatenate([best_i, i], axis=1)
+                order = np.argsort(cat_s, axis=1)[:, :k]
+                best_s = np.take_along_axis(cat_s, order, axis=1)
+                best_i = np.take_along_axis(cat_i, order, axis=1)
+        return jnp.asarray(best_s) + q2, jnp.asarray(best_i)
     else:
         T = build_luts(index.C, Q, pq=index.pq, d=d,
                        norms_cbook=index.norms_cbook)

@@ -252,3 +252,29 @@ def test_decode_mode_additive_with_norms_matches_lut_mode(rng):
                           r=28, bq=8, tile=1024, keep=4, pack=True)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_decode_mode_segmented_matches_single(rng, monkeypatch):
+    """Bases beyond the packed-id range run in segments with an exact
+    host merge — force tiny segments and compare with one-shot."""
+    from rayuela_tpu.search import scan_codes_pallas as scp
+    d, m, h, n, nq, k = 16, 4, 16, 5000, 6, 20
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    idx = scp.build_codes_index(jnp.asarray(C), jnp.asarray(B),
+                                pq=True, d=d)
+    kw = dict(interpret=True, mode="decode", lut_dtype=jnp.float32,
+              r=28, bq=8, tile=1024, keep=4)
+    d1, i1 = scp.search_codes(idx, jnp.asarray(Q), k, **kw)
+    monkeypatch.setattr(scp, "_DECODE_SEG", 2048)
+    d2, i2 = scp.search_codes(idx, jnp.asarray(Q), k, **kw)
+    # same top-k VALUES; ids may permute among decode ties across
+    # segment boundaries — but every id must score its reported rank
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-4, atol=1e-3)
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    Xd = np.asarray(reconstruct_pq(jnp.asarray(C), jnp.asarray(B), d))
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    picked = np.take_along_axis(D, np.asarray(i2), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(d2), rtol=1e-4,
+                               atol=1e-3)
