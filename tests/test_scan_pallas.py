@@ -252,6 +252,56 @@ def test_pack32_key_roundtrip(rng):
         np.asarray(_unsortable_key(jnp.asarray(k))), x)
 
 
+def test_packed_candidates_merge_tree_matches_topk(rng):
+    """The bitonic lane-merge tree in `_packed_candidates` == a
+    reference global top-k over the flattened (r*128) candidate keys,
+    for every (r, k) shape class: r above/below/equal the truncated
+    list length, non-power-of-two r and k, k=1, and k = r*128.
+
+    Inputs replicate the kernel's buffer invariants: per-(lane, query)
+    keys ascending along the slot axis, unique within a query (the
+    packed rowid low bits guarantee uniqueness on-chip), with some
+    all-int32-max lanes (a buffer slot never filled)."""
+    from rayuela_tpu.search.scan_pallas import LANES, \
+        _packed_candidates, _unsortable_key
+    imax = np.iinfo(np.int32).max
+    for r, k, idbits in [(1, 1, 4), (2, 100, 7), (14, 100, 13),
+                         (28, 1000, 13), (28, 1, 13), (6, 500, 10),
+                         (28, 28 * 128, 13), (5, 17, 9), (16, 2048, 13),
+                         (3, 384, 8)]:
+        nq = 9
+        # unique keys per query column: sample w/o replacement from a
+        # wide range, reshape to (r, LANES), sort ascending per lane
+        keys = np.empty((r, LANES, nq), np.int32)
+        for q in range(nq):
+            vals = rng.choice(1 << 22, size=r * LANES, replace=False)
+            vals = (vals.astype(np.int64) << 9) - (1 << 30)
+            keys[:, :, q] = np.sort(
+                vals.astype(np.int32).reshape(r, LANES), axis=0)
+        # empty buffer tails: top slots of a few lanes left at init max
+        keys[r // 2:, 3, 0] = imax
+        keys[r // 2:, 77, 4] = imax
+        vals, ids, tau = jax.jit(
+            _packed_candidates, static_argnums=(1, 2, 3, 4))(
+                jnp.asarray(keys), nq, r, k, idbits)
+        flat = keys.reshape(r * LANES, nq).T              # (nq, rL)
+        order = np.argsort(flat, axis=1, kind="stable")
+        ref_keys = np.take_along_axis(flat, order, axis=1)[:, :k]
+        lane = np.broadcast_to(np.arange(LANES)[None, :],
+                               (r, LANES)).reshape(-1)
+        ref_ids = ((ref_keys & ((1 << idbits) - 1)) * LANES
+                   + lane[order[:, :k]])
+        np.testing.assert_array_equal(np.asarray(tau), ref_keys[:, -1])
+        ref_vals = np.asarray(_unsortable_key(
+            jnp.asarray(ref_keys & np.int32(-1 << idbits))))
+        np.testing.assert_array_equal(np.asarray(vals), ref_vals)
+        # ids exact wherever keys are unique (everywhere except the
+        # injected init-max padding, which ties across lanes)
+        uniq = ref_keys != imax
+        np.testing.assert_array_equal(np.asarray(ids)[uniq],
+                                      ref_ids[uniq])
+
+
 def test_auto_config_valid_across_k_classes():
     """Every auto configuration must satisfy the kernel's static
     constraints (so the TPU path never falls back for a config bug)."""
