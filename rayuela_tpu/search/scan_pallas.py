@@ -454,6 +454,234 @@ def _pack_idbits(pack: bool, npad: int) -> int:
     return idbits if idbits <= 16 else 0
 
 
+def _rev_leading(x: Array) -> Array:
+    """Reverse a power-of-two leading axis by recursive half-swaps
+    (log2 stages of reshape + stack) — Mosaic does not lower ``rev``,
+    and every op here touches only the leading axis."""
+    s = x.shape[0]
+    rest = x.shape[1:]
+    j = s // 2
+    while j >= 1:
+        x4 = x.reshape(s // (2 * j), 2, j, *rest)
+        x = jnp.stack([x4[:, 1], x4[:, 0]], axis=1).reshape(s, *rest)
+        j //= 2
+    return x
+
+
+def _tail_kernel(outp_ref, keys_ref, lanes_ref, *, r: int, L0: int,
+                 cap: int, bq2: int):
+    """Cross-lane top-``cap`` merge of the scan's per-lane key buffers,
+    entirely in VMEM — the Pallas replacement for the host-side
+    `_packed_candidates` selection, which measured 199 ms (lax.top_k)
+    / 193 ms (XLA merge tree, unfused) at k=1000 vs the 139 ms scan
+    kernel itself (1x v5e, r=28, nq=1e4).
+
+    Input block: (r, LANES, bq2) packed keys, each lane's list sorted
+    ascending; the lane id rides along as an explicit payload (the
+    packed key's low bits hold only the per-lane row id;
+    gid = rowid * 128 + lane). A bitonic merge tree halves the list
+    count per round; lists beyond ``cap`` ranks are dropped with one
+    stride-``cap`` compare per round (exact: the lower half of a
+    bitonic 2*cap sequence after that stage IS its smallest ``cap``).
+
+    Two phases keep every array at full (8, 128) vreg occupancy — a
+    naive (slots, lists, bq2) tree OOMs scoped VMEM once the lists
+    axis decays below 8 sublanes (measured 19.3 MB vs the 16 MB limit
+    at k=1000):
+
+    * Phase A (128 → 8 lists): state (slots, c, bq2), c >= 8 on the
+      sublane axis. No reversals after round 0: lists carry
+      ALTERNATING sort directions (pair halves asc ++ desc = bitonic
+      directly), and each round's merge network runs per-list
+      directions via a sublane-iota mask. Round 0 reverses the upper
+      64 lanes once (`_rev_leading`, leading-axis half-swaps — Mosaic
+      has no ``rev``).
+
+    * Phase B (8 -> 1): state stays (L8, 8, bq2); each list occupies a
+      contiguous block of sublane COLUMNS (rank-major: rank = col*L8
+      + slot). Compare-exchanges at rank-stride >= L8 become sublane
+      rotations (`pltpu.roll`) at a uniform per-stage column distance;
+      strides < L8 are ordinary leading-axis stages. Adjacent-pair
+      pairing + even-asc directions keep every roll distance uniform.
+    """
+    imax = jnp.iinfo(jnp.int32).max
+    K = outp_ref[...]                                 # (r, LANES, bq2)
+    if r > L0:
+        # per-lane rank >= L0 >= cap -> never in the global top-cap
+        K = K[:L0]
+    elif L0 > r:
+        K = jnp.concatenate(
+            [K, jnp.full((L0 - r, LANES, bq2), imax, jnp.int32)],
+            axis=0)
+    P = lax.broadcasted_iota(jnp.int32, (L0, LANES, bq2), 1)
+
+    # round 0 direction fix: upper half of the lanes descending
+    desc = lax.broadcasted_iota(
+        jnp.int32, (1, LANES, bq2), 1) >= LANES // 2
+    K = jnp.where(desc, _rev_leading(K), K)
+    P = jnp.where(desc, _rev_leading(P), P)
+
+    # ---- phase A: (slots, c, bq2), c: 128 -> 8 ----
+    L, c = L0, LANES
+    while c > 8:
+        c2 = c // 2
+        # lists j < c2 asc, j >= c2 desc (invariant) -> concat bitonic
+        V = jnp.concatenate([K[:, :c2], K[:, c2:]], axis=0)
+        PV = jnp.concatenate([P[:, :c2], P[:, c2:]], axis=0)
+        S = 2 * L
+        if S > cap:
+            assert L == cap, (L, cap)   # doubling hits cap exactly
+            lo = V[:cap] <= V[cap:]
+            V = jnp.where(lo, V[:cap], V[cap:])       # bitonic, exact
+            PV = jnp.where(lo, PV[:cap], PV[cap:])
+            S = cap
+        # output directions: halves for the next phase-A pairing;
+        # even-asc when producing the 8 phase-B column lists.
+        # (1, 1, c2, bq2): broadcasts against the (nb, j, c2, bq2)
+        # stage operands
+        pos = lax.broadcasted_iota(jnp.int32, (1, 1, c2, bq2), 2)
+        up = (pos < c2 // 2) if c2 > 8 else (pos % 2 == 0)
+        j = S // 2
+        while j >= 1:
+            nb = S // (2 * j)
+            V4 = V.reshape(nb, 2, j, c2, bq2)
+            P4 = PV.reshape(nb, 2, j, c2, bq2)
+            a, b = V4[:, 0], V4[:, 1]
+            pa, pb = P4[:, 0], P4[:, 1]
+            lo = a <= b
+            vmin = jnp.where(lo, a, b)
+            vmax = jnp.where(lo, b, a)
+            pmin = jnp.where(lo, pa, pb)
+            pmax = jnp.where(lo, pb, pa)
+            V = jnp.stack([jnp.where(up, vmin, vmax),
+                           jnp.where(up, vmax, vmin)],
+                          axis=1).reshape(S, c2, bq2)
+            PV = jnp.stack([jnp.where(up, pmin, pmax),
+                            jnp.where(up, pmax, pmin)],
+                           axis=1).reshape(S, c2, bq2)
+            j //= 2
+        K, P, L, c = V, PV, S, c2
+
+    # ---- phase B: (L8, 8, bq2), column-block lists, rolls ----
+    L8, Lb = L, L
+    col = lax.broadcasted_iota(jnp.int32, (1, 8, bq2), 1)
+
+    def _roll_cmpx(K, P, D, sel_min):
+        """Compare-exchange with the partner at column distance D
+        (rank-stride >= L8). ``sel_min``: mask, True where this
+        element keeps the pair min."""
+        first = (col // D) % 2 == 0
+        pk = jnp.where(first, pltpu.roll(K, 8 - D, 1),
+                       pltpu.roll(K, D, 1))
+        pp = jnp.where(first, pltpu.roll(P, 8 - D, 1),
+                       pltpu.roll(P, D, 1))
+        # strict compare on the pair's SECOND element: each element
+        # resolves its exchange independently here (unlike the paired
+        # stack stages), so a tie — possible across lanes, when two
+        # candidates share truncated score AND per-lane row id — must
+        # break by position or both sides would keep the same payload,
+        # duplicating one gid and losing the other. (Spelled with
+        # logical ops: Mosaic rejects ``where`` on i1 operands.)
+        lo = (K < pk) | ((K == pk) & first)
+        nK = jnp.where(sel_min, jnp.where(lo, K, pk),
+                       jnp.where(lo, pk, K))
+        nP = jnp.where(sel_min, jnp.where(lo, P, pp),
+                       jnp.where(lo, pp, P))
+        return nK, nP
+
+    for rb in range(3):
+        w = 1 << rb                     # input span width in columns
+        nb = Lb // L8                   # valid columns per input list
+        out_asc = (col // (2 * w)) % 2 == 0
+        first_w = (col // w) % 2 == 0
+        Sl = 2 * Lb
+        if Sl > cap:
+            assert Lb == cap, (Lb, cap)
+            K, P = _roll_cmpx(K, P, w, first_w)   # keep min at A-cols
+            Sl = cap
+        sigma = Sl // 2
+        while sigma >= 1:
+            if sigma >= L8:
+                db = sigma // L8
+                D = w if db >= nb else db
+                K, P = _roll_cmpx(K, P, D,
+                                  ((col // D) % 2 == 0) == out_asc)
+            else:
+                nbl = L8 // (2 * sigma)
+                V4 = K.reshape(nbl, 2, sigma, 8, bq2)
+                P4 = P.reshape(nbl, 2, sigma, 8, bq2)
+                a, b = V4[:, 0], V4[:, 1]
+                pa, pb = P4[:, 0], P4[:, 1]
+                lo = a <= b
+                vmin = jnp.where(lo, a, b)
+                vmax = jnp.where(lo, b, a)
+                pmin = jnp.where(lo, pa, pb)
+                pmax = jnp.where(lo, pb, pa)
+                K = jnp.stack([jnp.where(out_asc, vmin, vmax),
+                               jnp.where(out_asc, vmax, vmin)],
+                              axis=1).reshape(L8, 8, bq2)
+                P = jnp.stack([jnp.where(out_asc, pmin, pmax),
+                               jnp.where(out_asc, pmax, pmin)],
+                              axis=1).reshape(L8, 8, bq2)
+            sigma //= 2
+        Lb = Sl
+
+    # extraction: final asc list = columns [0, cap/L8), rank-major
+    outs_k, outs_p = [], []
+    for b in range(cap // L8):
+        mk = col == b
+        outs_k.append(jnp.min(jnp.where(mk, K, imax), axis=1))
+        outs_p.append(jnp.sum(jnp.where(mk, P, 0), axis=1))
+    keys_ref[...] = (jnp.concatenate(outs_k, axis=0)
+                     if len(outs_k) > 1 else outs_k[0])
+    lanes_ref[...] = (jnp.concatenate(outs_p, axis=0)
+                      if len(outs_p) > 1 else outs_p[0])
+
+
+def _tail_candidates_pallas(outp_rows: Array, nq: int, r: int, k: int,
+                            idbits: int, interpret: bool = False):
+    """`_packed_candidates` semantics via the in-VMEM `_tail_kernel`:
+    (trunc scores (nq, k), gids (nq, k), tau (nq,) packed boundary
+    keys). ``outp_rows`` is the scan's (r, LANES, nqp) key buffer."""
+    nqp = outp_rows.shape[2]
+    bq2 = 128
+    rpad = 1 << max(0, (r - 1).bit_length())
+    cap = min(1 << max(0, (k - 1).bit_length()), rpad * LANES)
+    L0 = min(cap, rpad)
+    if nqp % bq2 or cap > 1024 or L0 > 32:
+        # tiny query batches, or configs whose working set would blow
+        # the 16 MB scoped-VMEM budget: host XLA selection instead
+        return _packed_candidates(outp_rows, nq, r, k, idbits)
+    kern = functools.partial(_tail_kernel, r=r, L0=L0, cap=cap, bq2=bq2)
+    keys, lanes = pl.pallas_call(
+        kern,
+        grid=(nqp // bq2,),
+        in_specs=[pl.BlockSpec((r, LANES, bq2), lambda qb: (0, 0, qb),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((cap, bq2), lambda qb: (0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, bq2), lambda qb: (0, qb),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cap, nqp), jnp.int32),
+            jax.ShapeDtypeStruct((cap, nqp), jnp.int32),
+        ),
+        # worst case (r=28, cap=1024) peaks ~17.4 MB of scoped VMEM —
+        # above the 16 MB compiler default, well under the chip's
+        # 128 MB; no DMA pipelining in this kernel to starve
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(outp_rows)
+    skeys = keys[:k, :nq].T                           # (nq, k) asc
+    slanes = lanes[:k, :nq].T
+    ids = (skeys & jnp.int32((1 << idbits) - 1)) * LANES + slanes
+    vals = _unsortable_key(skeys & jnp.int32(-(1 << idbits)))
+    return vals, ids, skeys[:, k - 1]
+
+
 def _cmpx_stage(ka: Array, la: Array, j: int) -> tuple[Array, Array]:
     """One ascending compare-exchange stage (stride ``j``) along axis 0
     of (s, ...) key + payload arrays."""
@@ -550,11 +778,12 @@ def candidate_ids(outi: Array, nq: int, r: int) -> Array:
 
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
-                              "interpret", "pack", "keep"))
+                              "interpret", "pack", "keep", "tail"))
 def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
                      r: int = 48, bq: int = 128, tile: int = 2048,
                      verify: bool = True, interpret: bool = False,
-                     pack: bool = False, keep: int = 0
+                     pack: bool = False, keep: int = 0,
+                     tail: bool | None = None
                      ) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k ADC scan over a decoded base.
 
@@ -580,6 +809,10 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         condition (no (lane, tile) holds more than ``keep`` of the
         top-k), counted by the verification kernel. Requires
         ``r + keep`` and ``tile/(128*keep)`` powers of two.
+      tail: run the cross-lane candidate selection as a second Pallas
+        kernel (`_tail_kernel`, VMEM-resident merge tree) instead of
+        host XLA. Default: on for compiled packed runs, off in
+        interpret mode (the kernel is equivalence-tested separately).
 
     Returns ``(dists (nq, k), ids (nq, k), flagged (nq,) bool)``.
     Flagged queries must be re-run via the exact XLA path (done by
@@ -647,8 +880,14 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
             ],
             interpret=interpret,
         )(QT, Xp, x2p)
-        vals, ids, tau_k = _packed_candidates(outp[:r], nq, r, kk,
-                                              idbits)
+        if tail is None:
+            tail = not interpret
+        if tail:
+            vals, ids, tau_k = _tail_candidates_pallas(
+                outp[:r], nq, r, kk, idbits, interpret=interpret)
+        else:
+            vals, ids, tau_k = _packed_candidates(outp[:r], nq, r, kk,
+                                                  idbits)
         dists = vals + q2
         if not verify:
             return dists, ids, jnp.zeros((nq,), bool)

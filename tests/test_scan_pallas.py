@@ -302,6 +302,96 @@ def test_packed_candidates_merge_tree_matches_topk(rng):
                                       ref_ids[uniq])
 
 
+def test_tail_kernel_matches_xla_candidates(rng):
+    """Interpret-mode `_tail_candidates_pallas` (the in-VMEM merge-tree
+    kernel) == the XLA `_packed_candidates` reference, over the (r, k)
+    config space, on kernel-invariant inputs (per-lane ascending,
+    unique keys, some never-filled buffer tails)."""
+    from rayuela_tpu.search.scan_pallas import (
+        LANES, _packed_candidates, _tail_candidates_pallas)
+    imax = np.iinfo(np.int32).max
+    for r, k, idbits in [(1, 1, 4), (2, 100, 7), (14, 100, 13),
+                         (28, 1000, 13), (28, 1, 13), (6, 500, 10),
+                         (5, 17, 9), (3, 384, 8), (16, 2048, 13)]:
+        nq, nqp = 9, 128
+        keys = np.empty((r, LANES, nqp), np.int32)
+        for q in range(nqp):
+            vals = rng.choice(1 << 22, size=r * LANES, replace=False)
+            vals = (vals.astype(np.int64) << 9) - (1 << 30)
+            keys[:, :, q] = np.sort(
+                vals.astype(np.int32).reshape(r, LANES), axis=0)
+        keys[r // 2:, 3, 0] = imax
+        keys[r // 2:, 77, 4] = imax
+        keys = np.sort(keys, axis=0)
+        ref = _packed_candidates(jnp.asarray(keys), nq, r, k, idbits)
+        got = _tail_candidates_pallas(jnp.asarray(keys), nq, r, k,
+                                      idbits, interpret=True)
+        for g, rf, name in zip(got, ref, ("vals", "ids", "tau")):
+            g, rf = np.asarray(g), np.asarray(rf)
+            if name == "ids":
+                # ids only defined where keys unique (imax padding ties)
+                uniq = np.asarray(ref[0]) < np.float32(np.inf)
+                fin = np.isfinite(np.asarray(ref[0]))
+                np.testing.assert_array_equal(g[fin], rf[fin],
+                                              err_msg=f"{r},{k} ids")
+            else:
+                np.testing.assert_array_equal(g, rf,
+                                              err_msg=f"{r},{k} {name}")
+
+
+def test_tail_kernel_cross_lane_ties_keep_both_ids(rng):
+    """Two candidates in different lanes can share an identical packed
+    key (same truncated score AND same per-lane row id). The tail
+    kernel's roll stages resolve exchanges per-element, so ties must
+    break by position — a regression here returns one gid twice and
+    silently drops the other."""
+    from rayuela_tpu.search.scan_pallas import (
+        LANES, _tail_candidates_pallas)
+    r, k, idbits = 6, 64, 8
+    nq, nqp = 4, 128
+    keys = np.empty((r, LANES, nqp), np.int32)
+    for q in range(nqp):
+        vals = rng.choice(1 << 20, size=r * LANES, replace=False)
+        vals = (vals.astype(np.int64) << 9) - (1 << 28)
+        keys[:, :, q] = np.sort(
+            vals.astype(np.int32).reshape(r, LANES), axis=0)
+    # give every key its slot index as the row id (value top bits are
+    # distinct above bit 9 > idbits, so per-lane order is preserved
+    # and every (rowid, lane) gid is globally unique)
+    slot = np.arange(r, dtype=np.int32)[:, None, None]
+    keys = (keys & np.int32(-1 << idbits)) | slot
+    # plant identical SMALLEST keys (slot 0, rowid 0) in several lanes:
+    # equal packed keys, inside the top-k, with distinct gids = lane
+    tie_key = np.int32(-(1 << 29) & (-1 << idbits))
+    tie_lanes = [5, 77, 12, 100, 31, 64]
+    for ln in tie_lanes:
+        keys[0, ln, :] = tie_key
+    _, ids, _ = _tail_candidates_pallas(jnp.asarray(keys), nq, r, k,
+                                        idbits, interpret=True)
+    ids = np.asarray(ids)
+    want = set(tie_lanes)                    # gid = 0*128 + lane
+    for q in range(nq):
+        got = ids[q].tolist()
+        assert len(set(got)) == k, f"q{q}: duplicate ids"
+        assert want <= set(got), f"q{q}: tied ids lost"
+
+
+def test_pack32_tail_kernel_end_to_end(rng):
+    """Full packed scan with the Pallas tail kernel == the identical
+    scan with the XLA tail, bit-for-bit (dists, ids, flags), across
+    more than one tail-kernel query block (nqp=256)."""
+    nq, n, d, k = 130, 1500, 16, 100
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    a = run(Q, Xd, k=k, r=14, bq=128, tile=1024, pack=True, keep=2,
+            tail=True)
+    b = run(Q, Xd, k=k, r=14, bq=128, tile=1024, pack=True, keep=2,
+            tail=False)
+    for x, y, name in zip(a, b, ("dists", "ids", "flagged")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
 def test_auto_config_valid_across_k_classes():
     """Every auto configuration must satisfy the kernel's static
     constraints (so the TPU path never falls back for a config bug)."""
