@@ -47,7 +47,9 @@ from rayuela_tpu.search.scan_pallas import (LANES, _apply_network,
                                             _pack_idbits,
                                             _packed_candidates,
                                             _select_insert_packed,
-                                            _sort_stages, candidate_ids)
+                                            _sort_stages,
+                                            _tail_candidates_pallas,
+                                            candidate_ids)
 from rayuela_tpu.utils import cdiv, splitarray
 
 Array = jax.Array
@@ -334,14 +336,15 @@ def build_decode_operands(C: Array, *, pq: bool, d: int,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify", "pq",
-                              "interpret", "op_dtype", "keep"))
+                              "interpret", "op_dtype", "keep", "tail"))
 def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
                                   packed: Array, *, k: int, pq: bool,
                                   r: int = 28, bq: int = 256,
                                   tile: int = 2048, keep: int = 4,
                                   verify: bool = True,
                                   interpret: bool = False,
-                                  op_dtype=jnp.bfloat16
+                                  op_dtype=jnp.bfloat16,
+                                  tail: bool | None = None
                                   ) -> tuple[Array, Array, Array]:
     """Top-k over packed codes via in-kernel decode (always pack32).
 
@@ -407,7 +410,14 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
         interpret=interpret,
     )(QT, Cflat, nrm, PT)
     kk = min(k, n)
-    scores, ids, tau_k = _packed_candidates(outp[:r], nq, r, kk, idbits)
+    if tail is None:
+        tail = not interpret
+    if tail:
+        scores, ids, tau_k = _tail_candidates_pallas(
+            outp[:r], nq, r, kk, idbits, interpret=interpret)
+    else:
+        scores, ids, tau_k = _packed_candidates(outp[:r], nq, r, kk,
+                                                idbits)
     if not verify:
         return scores, ids, jnp.zeros((nq,), bool)
     flagged = jnp.any(outp[r, :, :nq] < tau_k[None, :], axis=0)
@@ -420,12 +430,13 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
-                              "interpret", "lut_dtype", "pack", "keep"))
+                              "interpret", "lut_dtype", "pack", "keep",
+                              "tail"))
 def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
                            r: int = 48, bq: int = 128, tile: int = 2048,
                            verify: bool = True, interpret: bool = False,
                            lut_dtype=jnp.bfloat16, pack: bool = False,
-                           keep: int = 0
+                           keep: int = 0, tail: bool | None = None
                            ) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k over packed codes.
 
@@ -497,8 +508,14 @@ def pallas_scan_codes_topk(T: Array, packed: Array, *, k: int,
             ],
             interpret=interpret,
         )(Tf, PT)
-        scores, ids, tau_k = _packed_candidates(outp[:r], nq, r, kk,
-                                                idbits)
+        if tail is None:
+            tail = not interpret
+        if tail:
+            scores, ids, tau_k = _tail_candidates_pallas(
+                outp[:r], nq, r, kk, idbits, interpret=interpret)
+        else:
+            scores, ids, tau_k = _packed_candidates(outp[:r], nq, r,
+                                                    kk, idbits)
         if not verify:
             return scores, ids, jnp.zeros((nq,), bool)
         # in-scan EXACT certificate (min discarded/evicted key), same
@@ -682,6 +699,9 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         q2 = jnp.sum(Qj * Qj, axis=-1, keepdims=True)
 
         def one_segment(packed_seg, kseg):
+            # results stay ON DEVICE — only the (nq,) flag vector syncs
+            # to host (an early version pulled the full (nq, k) arrays
+            # through the axon tunnel per call: 13x slower e2e)
             s, i, fl = pallas_scan_codes_decode_topk(
                 Qj, Cf, nrm, packed_seg, k=kseg, pq=index.pq, r=r,
                 bq=bq, tile=tile, keep=keep if keep else 0,
@@ -696,11 +716,11 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                                       kseg, lut_dtype=lut_dtype)
                 s = s.at[qidx].set(s2)
                 i = i.at[qidx].set(i2)
-            return np.asarray(s), np.asarray(i)
+            return s, i
 
         if index.n <= seg:
             s, i = one_segment(index.packed, k)
-            return jnp.asarray(s) + q2, jnp.asarray(i)
+            return s + q2, i
         best_s = best_i = None
         for start in range(0, index.n, seg):
             stop = min(start + seg, index.n)
@@ -710,12 +730,12 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
             if best_s is None:
                 best_s, best_i = s, i
             else:
-                cat_s = np.concatenate([best_s, s], axis=1)
-                cat_i = np.concatenate([best_i, i], axis=1)
-                order = np.argsort(cat_s, axis=1)[:, :k]
-                best_s = np.take_along_axis(cat_s, order, axis=1)
-                best_i = np.take_along_axis(cat_i, order, axis=1)
-        return jnp.asarray(best_s) + q2, jnp.asarray(best_i)
+                cat_s = jnp.concatenate([best_s, s], axis=1)
+                cat_i = jnp.concatenate([best_i, i], axis=1)
+                neg, loc = lax.top_k(-cat_s, k)    # (nq, <=2k) merge
+                best_s = -neg
+                best_i = jnp.take_along_axis(cat_i, loc, axis=1)
+        return best_s + q2, best_i
     else:
         T = build_luts(index.C, Q, pq=index.pq, d=d,
                        norms_cbook=index.norms_cbook)
