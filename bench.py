@@ -44,9 +44,17 @@ N_ENC = 200_000
 
 
 def _sync(x):
+    """Hard host sync WITHOUT pulling the full result through the axon
+    tunnel: block, then fetch one element (block_until_ready alone
+    under-measures on this backend; a full np.asarray of a (2e5, m)
+    codes array adds ~150 ms of pure tunnel transfer to every rep —
+    that artifact depressed the round-2 encode numbers by ~1.6x)."""
     import jax
     jax.block_until_ready(x)
-    return np.asarray(x[0] if isinstance(x, (tuple, list)) else x)
+    a = x[0] if isinstance(x, (tuple, list)) else x
+    while a.ndim:
+        a = a[0]
+    return np.asarray(a)
 
 
 def _best_of(fn, reps: int = 3) -> float:

@@ -778,12 +778,14 @@ def candidate_ids(outi: Array, nq: int, r: int) -> Array:
 
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
-                              "interpret", "pack", "keep", "tail"))
+                              "interpret", "pack", "keep", "tail",
+                              "vmem_mb"))
 def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
                      r: int = 48, bq: int = 128, tile: int = 2048,
                      verify: bool = True, interpret: bool = False,
                      pack: bool = False, keep: int = 0,
-                     tail: bool | None = None
+                     tail: bool | None = None,
+                     vmem_mb: int | None = None
                      ) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k ADC scan over a decoded base.
 
@@ -862,6 +864,9 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
     kk = min(k, n)
     q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
 
+    cparams = (pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_mb * 1024 * 1024)
+        if vmem_mb else None)
     if idbits:
         kern = functools.partial(_scan_kernel_packed, rows=rows, r=r,
                                  ntiles=ntiles, bq=bq, idbits=idbits,
@@ -878,6 +883,7 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
                 pltpu.VMEM((1, LANES, bq), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=cparams,
             interpret=interpret,
         )(QT, Xp, x2p)
         if tail is None:
