@@ -45,7 +45,10 @@ def initialize(coordinator_address: str | None = None,
     ``JAX_PROCESS_ID``); TPU pod metadata (args all None — JAX
     auto-detects on Cloud TPU). A plain single-process run (none of
     the above) is a no-op."""
-    if jax.process_count() > 1:
+    # NB: must not touch the XLA backend before jax.distributed
+    # initializes (jax.process_count()/jax.devices() would), so probe
+    # the distributed service state directly.
+    if jax.distributed.is_initialized():
         return True                       # already initialized
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
