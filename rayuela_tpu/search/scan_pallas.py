@@ -1013,7 +1013,8 @@ def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False):
 def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
            bq: int | None = None, tile: int | None = None,
            interpret: bool = False, pack: bool | None = None,
-           keep: int | None = None) -> tuple[Array, Array]:
+           keep: int | None = None,
+           vmem_mb: int | None = None) -> tuple[Array, Array]:
     """Exact top-k search: Pallas fast path + XLA re-run for any query
     the verification kernel flags (host-side check, so shapes stay
     static under jit).
@@ -1035,9 +1036,12 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile
     keep = akeep if keep is None else keep
+    if vmem_mb is None and tile > 4096:
+        vmem_mb = 64          # beyond the 16 MB scoped-VMEM default
     dists, ids, flagged = pallas_scan_topk(
         Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
-        verify=True, interpret=interpret, pack=pack, keep=keep)
+        verify=True, interpret=interpret, pack=pack, keep=keep,
+        vmem_mb=vmem_mb)
     flagged = np.asarray(flagged)
     if flagged.any():
         from rayuela_tpu.search.linscan import exact_rescan
