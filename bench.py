@@ -26,6 +26,9 @@ Emits one JSON line per metric: ``{"metric", "value", "unit",
   C++/CUDA kernels `deps/src/encode_icm.cpp:63-152`,
   `cudautils.cu:198-291`) on the Pallas kernel; vs_baseline is the
   in-run speedup over the batched XLA min-plus path.
+* ``codes_scan_qps_100m_m8_knn1000`` — SIFT100M-scale: n=1e8 codes
+  (800 MB packed) resident on one chip, segmented code-resident scan;
+  vs_baseline scales the reference estimate by base size.
 """
 
 from __future__ import annotations
@@ -191,6 +194,44 @@ def bench_viterbi(jax, jnp, rng):
     emit("viterbi_encode_vps_m8", vps, "vectors/s", vps / xla_vps)
 
 
+def bench_scan_100m(jax, jnp, rng, C, Q):
+    """SIFT100M-scale code-resident scan: n=1e8 codes (800 MB packed)
+    resident on ONE chip — the decoded base would be 51 GB. Runs the
+    segmented in-kernel-decode path (12 exact-merged segments);
+    vs_baseline is vs the same ~2k-qps reference estimate scaled by
+    base size (the reference CPU scan is linear in n)."""
+    from rayuela_tpu.search.scan_codes_pallas import CodesIndex
+
+    n_big, nq_big = 100_000_000, 1_000
+    try:
+        # uint8 (n, m) little-endian IS the packed int32 (n, m/4)
+        # array; rng.bytes is ~20x faster than rng.integers here
+        B8 = np.frombuffer(rng.bytes(n_big * M),
+                           dtype=np.uint8).reshape(n_big, M)
+        packed = jax.device_put(
+            jnp.asarray(B8.view(np.uint32).view(np.int32)))
+        jax.block_until_ready(packed)
+        idx = CodesIndex(packed, M, C, pq=True, d=D, norms_cbook=None)
+        from rayuela_tpu.search.scan_codes_pallas import search_codes
+
+        Qb = Q[:nq_big]
+        out = search_codes(idx, Qb, KNN)
+        _ = np.asarray(out[0][0, :1])
+
+        def call():
+            out = search_codes(idx, Qb, KNN)
+            jax.block_until_ready(out)
+            _ = np.asarray(out[0][0, 0])
+        qps = nq_big / _best_of(call, reps=2)
+        base = SCAN_BASELINE_QPS * N / n_big
+        emit("codes_scan_qps_100m_m8_knn1000", qps, "queries/s",
+             qps / base)
+        del idx, packed
+    except Exception as e:
+        print(f"# 100m codes scan unavailable ({type(e).__name__}: "
+              f"{e})", flush=True)
+
+
 def main():
     import jax
 
@@ -213,6 +254,7 @@ def main():
     bench_scan_codes(jax, jnp, rng, C, B, Q)
     bench_encode(jax, jnp, rng)
     bench_viterbi(jax, jnp, rng)
+    bench_scan_100m(jax, jnp, rng, C, Q)
 
 
 if __name__ == "__main__":
