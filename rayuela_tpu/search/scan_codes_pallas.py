@@ -698,34 +698,59 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         Qj = jnp.asarray(Q)
         q2 = jnp.sum(Qj * Qj, axis=-1, keepdims=True)
 
-        def one_segment(packed_seg, kseg):
-            # results stay ON DEVICE — only the (nq,) flag vector syncs
-            # to host (an early version pulled the full (nq, k) arrays
-            # through the axon tunnel per call: 13x slower e2e)
-            s, i, fl = pallas_scan_codes_decode_topk(
+        def scan_segment(packed_seg, kseg):
+            return pallas_scan_codes_decode_topk(
                 Qj, Cf, nrm, packed_seg, k=kseg, pq=index.pq, r=r,
                 bq=bq, tile=tile, keep=keep if keep else 0,
                 verify=True, interpret=interpret, op_dtype=lut_dtype)
+
+        def lut_rescan(qsel, starts, kfor):
+            """Exact XLA LUT oracle over the listed segments for the
+            selected queries (the rare flagged path)."""
+            Tf = build_luts(index.C, Qj[qsel], pq=index.pq, d=d,
+                            norms_cbook=index.norms_cbook)
+            bs = bi = None
+            for start, stop in starts:
+                s2, i2 = xla_lut_scan(
+                    Tf, unpack_codes(index.packed[start:stop],
+                                     index.mprime),
+                    kfor(start, stop), lut_dtype=lut_dtype)
+                i2 = i2 + start
+                if bs is None:
+                    bs, bi = s2, i2
+                else:
+                    cs = jnp.concatenate([bs, s2], axis=1)
+                    ci = jnp.concatenate([bi, i2], axis=1)
+                    neg, loc = lax.top_k(-cs, min(k, cs.shape[1]))
+                    bs = -neg
+                    bi = jnp.take_along_axis(ci, loc, axis=1)
+            return bs, bi
+
+        if index.n <= seg:
+            # results stay ON DEVICE — only the (nq,) flag vector syncs
+            # to host (an early version pulled the full (nq, k) arrays
+            # through the axon tunnel per call: 13x slower e2e)
+            s, i, fl = scan_segment(index.packed, k)
             fl = np.asarray(fl)
             if fl.any():
                 qidx = np.nonzero(fl)[0]
-                Tf = build_luts(index.C, Qj[qidx], pq=index.pq, d=d,
-                                norms_cbook=index.norms_cbook)
-                s2, i2 = xla_lut_scan(Tf, unpack_codes(packed_seg,
-                                                       index.mprime),
-                                      kseg, lut_dtype=lut_dtype)
+                s2, i2 = lut_rescan(qidx, [(0, index.n)],
+                                    lambda a, b: k)
                 s = s.at[qidx].set(s2)
                 i = i.at[qidx].set(i2)
-            return s, i
-
-        if index.n <= seg:
-            s, i = one_segment(index.packed, k)
             return s + q2, i
+
+        # Segmented path: flag checks are DEFERRED so there is exactly
+        # ONE host sync per call, not one per segment (120 segments x
+        # ~50 ms axon round-trip was ~20% of a 1e9-code call).
+        bounds = [(st, min(st + seg, index.n))
+                  for st in range(0, index.n, seg)]
         best_s = best_i = None
-        for start in range(0, index.n, seg):
-            stop = min(start + seg, index.n)
-            s, i = one_segment(index.packed[start:stop],
-                               min(k, stop - start))
+        fls = []
+        for start, stop in bounds:
+            s, i, fl = scan_segment(index.packed[start:stop],
+                                    min(k, stop - start))
+            fls.append(fl)
             i = i + start
             if best_s is None:
                 best_s, best_i = s, i
@@ -735,6 +760,15 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                 neg, loc = lax.top_k(-cat_s, k)    # (nq, <=2k) merge
                 best_s = -neg
                 best_i = jnp.take_along_axis(cat_i, loc, axis=1)
+        flagged = np.asarray(jnp.any(jnp.stack(fls), axis=0))
+        if flagged.any():
+            # any flagged (query, segment) taints that query's merged
+            # list: rebuild those queries exactly over ALL segments
+            qidx = np.nonzero(flagged)[0]
+            s2, i2 = lut_rescan(qidx, bounds,
+                                lambda a, b: min(k, b - a))
+            best_s = best_s.at[qidx].set(s2)
+            best_i = best_i.at[qidx].set(i2)
         return best_s + q2, best_i
     else:
         T = build_luts(index.C, Q, pq=index.pq, d=d,

@@ -186,6 +186,33 @@ def test_adversarial_lane_overflow_is_flagged_and_repaired(rng):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_segmented_overflow_is_flagged_and_repaired(rng, monkeypatch):
+    """Segmented decode mode defers all per-segment flags to ONE host
+    sync; a flagged (query, segment) taints the merged list, so the
+    repair must rebuild that query exactly over ALL segments."""
+    from rayuela_tpu.search import scan_codes_pallas as scp
+    d, m, h, n, k = 16, 4, 16, 4096, 32
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    best = rng.integers(0, h, m).astype(np.int32)
+    for t in range(16):           # overflow lane 0 of SEGMENT 0 only
+        B[t * 128] = best
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    Q = np.asarray(reconstruct_pq(C, B, d))[0:1] + 0.0
+    Q = np.concatenate([Q, rng.standard_normal((3, d)).astype(np.float32)])
+    idx = scp.build_codes_index(jnp.asarray(C), jnp.asarray(B),
+                                pq=True, d=d)
+    monkeypatch.setattr(scp, "_DECODE_SEG", 2048)
+    dv, di = scp.search_codes(idx, jnp.asarray(Q), k, r=8, tile=1024,
+                              interpret=True, lut_dtype=jnp.float32)
+    Xd = np.asarray(reconstruct_pq(C, B, d))
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(dv), np.sort(D, 1)[:, :k],
+                               rtol=1e-4, atol=1e-3)
+    picked = np.take_along_axis(D, np.asarray(di), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(dv), rtol=1e-4,
+                               atol=1e-3)
+
+
 def test_kernel_prered_matches_xla_lut_scan(rng):
     """keep pre-reduction: same scores as the XLA oracle when nothing
     overflows the per-tile certificate."""
