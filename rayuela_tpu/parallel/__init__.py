@@ -7,9 +7,11 @@ from rayuela_tpu.parallel.lsq_sharded import make_sr_train_step
 from rayuela_tpu.parallel.mesh import (make_mesh, pq_lloyd_step_sharded,
                                        replicate, shard_data,
                                        sharded_scan_topk, sharded_search,
-                                       sharded_search_codes)
+                                       sharded_search_codes,
+                                       sharded_search_codes_decode)
 
 __all__ = ["global_mesh", "host_local_to_global", "initialize",
            "make_mesh", "make_sr_train_step", "pq_lloyd_step_sharded",
            "replicate", "shard_data", "sharded_scan_topk",
-           "sharded_search", "sharded_search_codes"]
+           "sharded_search", "sharded_search_codes",
+           "sharded_search_codes_decode"]

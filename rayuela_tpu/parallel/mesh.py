@@ -274,6 +274,89 @@ def sharded_search_codes(mesh: Mesh, T: Array, packed: Array, *,
     return fn(T, Pp)
 
 
+@_functools.lru_cache(maxsize=64)
+def _sharded_search_codes_decode_fn(mesh: Mesh, n: int, shard_n: int,
+                                    klocal: int, k: int, pq: bool,
+                                    r: int, bq: int, tile: int,
+                                    keep: int, op_dtype,
+                                    interpret: bool):
+    from jax import shard_map
+
+    from rayuela_tpu.search.scan_codes_pallas import (
+        pallas_scan_codes_decode_topk)
+
+    ndata = mesh.shape["data"]
+
+    def local(Q, Cf, nrm, packed):
+        d, i, fl = pallas_scan_codes_decode_topk(
+            Q, Cf, nrm, packed, k=klocal, pq=pq, r=r, bq=bq, tile=tile,
+            keep=keep, verify=True, interpret=interpret,
+            op_dtype=op_dtype)
+        shard = jax.lax.axis_index("data")
+        i = i + shard * shard_n
+        d = jnp.where(i < n, d, jnp.inf)
+        if ndata == 1:                 # static: no merge needed
+            kk = min(k, klocal)
+            return d[:, :kk], i[:, :kk], fl
+        dg = jax.lax.all_gather(d, "data", axis=1, tiled=True)
+        ig = jax.lax.all_gather(i, "data", axis=1, tiled=True)
+        neg, loc = jax.lax.top_k(-dg, min(k, ndata * klocal))
+        fl = jax.lax.psum(fl.astype(jnp.int32), "data") > 0
+        return -neg, jnp.take_along_axis(ig, loc, axis=1), fl
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(), P("data", None)),
+                   out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_search_codes_decode(mesh: Mesh, Q: Array, C: Array,
+                                packed: Array, *, k: int, pq: bool,
+                                d: int | None = None,
+                                norms_cbook: Array | None = None,
+                                r: int | None = None,
+                                bq: int | None = None,
+                                tile: int | None = None,
+                                keep: int | None = None,
+                                op_dtype=None,
+                                interpret: bool = False):
+    """Multi-chip code-resident search with the IN-KERNEL-DECODE kernel
+    (the default single-chip mode, 1.4-1.7x the LUT mode on hardware):
+    packed codes shard over ``data``; queries, flattened codebooks and
+    the norms table replicate (tiny); each chip decodes its tiles
+    in-kernel and merges with one all-gather + top-k. Per-shard rows
+    must fit the packed-id range (8.4M/chip — a 67M-vector base on an
+    8-chip slice); beyond that, segment per shard as
+    `search_codes` does, or use `sharded_search_codes` (LUT mode).
+
+    Returns ``(scores, ids, flagged)``; scores exclude +|q|^2."""
+    import jax.numpy as _jnp
+
+    from rayuela_tpu.search.scan_codes_pallas import (
+        _codes_auto_config, build_decode_operands)
+
+    if op_dtype is None:
+        op_dtype = _jnp.bfloat16
+    d = Q.shape[1] if d is None else d
+    Cf, nrm = build_decode_operands(C, pq=pq, d=d,
+                                    norms_cbook=norms_cbook,
+                                    op_dtype=op_dtype)
+    ndata = mesh.shape["data"]
+    Pp, n = pad_to_multiple(packed, ndata)
+    shard_n = Pp.shape[0] // ndata
+    klocal = min(k + (Pp.shape[0] - n), shard_n)
+    ar, abq, atile, akeep = _codes_auto_config(klocal, Q.shape[0],
+                                               True, "decode")
+    r = ar if r is None else r
+    bq = abq if bq is None else bq
+    tile = atile if tile is None else tile
+    keep = akeep if keep is None else keep
+    fn = _sharded_search_codes_decode_fn(mesh, n, shard_n, klocal, k,
+                                         pq, r, bq, tile, keep,
+                                         op_dtype, interpret)
+    return fn(Q, Cf, nrm, Pp)
+
+
 def sharded_search_exact(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
                          C: Array | None = None, B: Array | None = None,
                          pq: bool = False,

@@ -147,6 +147,32 @@ def test_sharded_codes_search_matches_local(rng, mesh):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_sharded_codes_decode_search_matches_local(rng, mesh):
+    """DECODE-mode code-resident sharded search (in-kernel tile decode
+    per shard, interpret mode) == single-device XLA LUT scan."""
+    from rayuela_tpu.parallel.mesh import sharded_search_codes_decode
+    from rayuela_tpu.search.scan_codes_pallas import (build_luts,
+                                                      pack_codes,
+                                                      xla_lut_scan)
+    d, m, h, n, nq, k = 16, 4, 16, 2111, 6, 15   # ragged vs 4-way shard
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    T = build_luts(jnp.asarray(C), Q, pq=True, d=d)
+    packed = pack_codes(jnp.asarray(B))
+    s_ref, i_ref = xla_lut_scan(T, jnp.asarray(B), k)
+    s_sh, i_sh, fl = sharded_search_codes_decode(
+        mesh, Q, jnp.asarray(C), packed, k=k, pq=True, d=d, r=28,
+        bq=8, tile=1024, keep=4, op_dtype=jnp.float32, interpret=True)
+    assert not np.asarray(fl).any()
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-3)
+    from tests.test_scan_codes import _lut_brute
+    s64 = _lut_brute(T, B)
+    picked = np.take_along_axis(s64, np.asarray(i_sh), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(s_sh),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_sharded_pallas_search_matches_local(rng, mesh):
     """Decoded-index sharded search (fused kernel per shard, interpret
     mode) == single-device exact scan."""
