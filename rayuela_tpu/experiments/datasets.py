@@ -181,14 +181,20 @@ def make_synthetic(d: int = 128, ntrain: int = 10_000,
     Xq = (Xb[rng.integers(0, nbase, nquery)]
           + 0.5 * noise * rng.standard_normal((nquery, d))
           ).astype(np.float32)
-    # exact NN by blocked brute force (float64 accumulate for stability)
+    return Dataset(name, Xt, Xb, Xq, exact_ground_truth(Xq, Xb))
+
+
+def exact_ground_truth(Xq: np.ndarray, Xb: np.ndarray) -> np.ndarray:
+    """True-NN id per query by blocked brute force (float64 accumulate
+    for stability) — the oracle every recall number is scored against."""
+    nquery = Xq.shape[0]
     gt = np.empty(nquery, np.int64)
     b2 = (Xb.astype(np.float64) ** 2).sum(1)
     for s in range(0, nquery, 256):
         q = Xq[s:s + 256].astype(np.float64)
         d2 = b2[None, :] - 2.0 * q @ Xb.T.astype(np.float64)
         gt[s:s + 256] = np.argmin(d2, axis=1)
-    return Dataset(name, Xt, Xb, Xq, gt.astype(np.int32))
+    return gt.astype(np.int32)
 
 
 def read_dataset(name: str, ntrain: int = 100_000,

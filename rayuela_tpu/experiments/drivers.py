@@ -220,8 +220,16 @@ def run_query_base(dataset: str | Dataset, m: int = 8, h: int = 256,
     (LabelMe22K / MNIST): the training set IS the base set — queries
     are searched against the training codes directly, over ``ntrials``
     repetitions (the reference uses 10, `:15`)."""
+    from rayuela_tpu.experiments.datasets import exact_ground_truth
+
     ds = read_dataset(dataset) if isinstance(dataset, str) else dataset
-    ds = Dataset(ds.name, ds.Xt, ds.Xt, ds.Xq, ds.gt)
+    gt = ds.gt
+    if not (ds.Xb.shape == ds.Xt.shape and np.array_equal(ds.Xb, ds.Xt)):
+        # the dataset's gt indexes Xb; once the searched base becomes
+        # Xt it must be recomputed (LabelMe/MNIST files have Xb == Xt,
+        # synthetic and most others do not)
+        gt = exact_ground_truth(ds.Xq, ds.Xt)
+    ds = Dataset(ds.name, ds.Xt, ds.Xt, ds.Xq, gt)
     return run_train_query_base(ds, m=m, h=h, niter=niter,
                                 ntrials=ntrials, knn=knn,
                                 methods=methods, results_dir=results_dir,

@@ -94,9 +94,13 @@ def test_query_base_protocol_and_high_recall(tmp_path):
                          methods=("pq", "rvq"),
                          results_dir=str(tmp_path), verbose=False,
                          ilsiter=2, icmiter=1, npert=1, chunk=512)
-    # query==base: the base searched is the training set itself
+    # query==base: the base searched is the training set itself, and
+    # the ground truth must follow it (regression: the swapped base
+    # used to keep the ORIGINAL Xb's gt — recall was meaningless for
+    # any dataset whose train set differs from its base set)
     for outs in res.values():
         assert outs[0]["B_base"].shape[0] == ds.Xt.shape[0]
+        assert outs[0]["recall"][-1] > 0.5, outs[0]["recall"][-1]
 
     out = high_recall_experiment(jax.random.PRNGKey(0), ds, m=3, h=16,
                                  niter=2, ilsiters=(1, 4), knn=50,
