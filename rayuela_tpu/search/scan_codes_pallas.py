@@ -631,21 +631,28 @@ def build_codes_index(C: Array, B: Array, *, pq: bool = False,
 _DECODE_SEG = (1 << 16) * LANES
 
 
-def _codes_auto_config(k: int, nq: int, pack: bool, mode: str):
+def _codes_auto_config(k: int, nq: int, pack: bool, mode: str,
+                       mprime: int | None = None):
     """Measured-best (r, bq, tile, keep) for the code-resident kernels
     (1x v5e sweeps, demos/bench_codes_tune.py 2026-08-17: knn=1000
     11.1k qps at (24, 256, 1024), knn=100 15.9k at (8, 512, 1024);
     the LUT block scales with bq, so bq caps at 512 in lut mode).
     Decode mode amortizes its per-tile decode over bq, so it prefers
-    the wider blocks (retune pending in demos/bench_codes_decode.py)."""
+    the wider blocks."""
     if not pack:
         return (16 if k <= 512 else 48), 128, 2048, 0
     if mode == "decode":
-        # v5e sweep demos/bench_codes_decode.py 2026-08-17: m8 k=1000
-        # 21.6k qps at (28,256,4096,4); k=100 38.3k at (14,512,2048,2)
-        # (t4096 is worse there); m16 16.2k / 29.6k on the same configs
+        # v5e sweeps (demos/bench_codes_decode.py +
+        # /tmp/sweep_codes_tail.py post-tail-merge, 2026-08-17): m8
+        # k=1000 29.6k qps at (28,256,4096,4); k=100 39.6k at
+        # (14,512,2048,2). m16's wider score spread overflows keep=2
+        # per-tile often enough that its flagged-rescan cost dominates
+        # (18.4k e2e); keep=4 avoids it: 30.8k at (12,512,2048,4),
+        # and costs m8 only ~3% — used whenever m' > 11.
         if k <= 512:
-            r, bq, tile, keep = 14, 512, 2048, 2
+            r, bq, tile, keep = ((14, 512, 2048, 2)
+                                 if mprime is None or mprime <= 11
+                                 else (12, 512, 2048, 4))
         else:
             r, bq, tile, keep = 28, 256, 4096, 4
     elif k <= 512:
@@ -680,7 +687,7 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
     if mode is None:
         mode = "decode"
     ar, abq, atile, akeep = _codes_auto_config(k, Q.shape[0], pack,
-                                               mode)
+                                               mode, index.mprime)
     r = ar if r is None else r
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile

@@ -186,6 +186,29 @@ def test_adversarial_lane_overflow_is_flagged_and_repaired(rng):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_codes_auto_config_valid_across_classes():
+    """Every codes auto configuration must satisfy the kernels' static
+    constraints, for both modes and all m' classes."""
+    from rayuela_tpu.search.scan_codes_pallas import _codes_auto_config
+    from rayuela_tpu.search.scan_pallas import LANES
+    for k in (1, 10, 100, 512, 513, 1000, 3000):
+        for nq in (1, 7, 128, 10_000):
+            for pack in (False, True):
+                for mode in ("lut", "decode"):
+                    for mp in (None, 4, 8, 11, 12, 16, 17):
+                        r, bq, tile, keep = _codes_auto_config(
+                            k, nq, pack, mode, mp)
+                        rows = tile // LANES
+                        assert rows & (rows - 1) == 0
+                        assert bq >= 1
+                        if pack and keep:
+                            assert (keep & (keep - 1) == 0
+                                    and keep <= rows)
+                            assert (r + keep) & (r + keep - 1) == 0
+                        else:
+                            assert (r + rows) & (r + rows - 1) == 0
+
+
 def test_segmented_overflow_is_flagged_and_repaired(rng, monkeypatch):
     """Segmented decode mode defers all per-segment flags to ONE host
     sync; a flagged (query, segment) taints the merged list, so the
