@@ -202,6 +202,17 @@ def search(index: MCQIndex, Q, k: int = 100, mesh=None,
                 d=d, norms_cbook=index.norms_codebook)
             s, i, fl = pmesh.sharded_search_codes(
                 mesh, T, index.scan_index.packed, k=k, **kw)
+            fl = np.asarray(fl)
+            if fl.any():
+                # certificate-flagged queries re-run exactly through
+                # the XLA LUT scan (same contract as single-chip)
+                qidx = np.nonzero(fl)[0]
+                s2, i2 = scan_codes_pallas.xla_lut_scan(
+                    T[:, :, qidx], scan_codes_pallas.unpack_codes(
+                        index.scan_index.packed,
+                        index.scan_index.mprime), k)
+                s = s.at[qidx].set(s2)
+                i = i.at[qidx].set(i2)
             q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
             return s + q2, i
         nt = (None if index.norms_codebook is None else
@@ -220,3 +231,112 @@ def search(index: MCQIndex, Q, k: int = 100, mesh=None,
         return linscan.exact_rescan(Q, index.scan_index.Xd,
                                     index.scan_index.x2, k)
     return scan_pallas.search(index.scan_index, Q, k, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Persistence: HDF5 save/load for models and indexes
+# ---------------------------------------------------------------------------
+
+def _put(g, name, arr):
+    if arr is not None:
+        g.create_dataset(name, data=np.asarray(arr))
+
+
+def save_model(path: str, model: MCQModel) -> None:
+    """Persist a trained model to HDF5 (same storage conventions as the
+    reference's result files, `demos/experiment_utils.jl:5-43`:
+    f32 codebooks, 0-based uint8 codes)."""
+    import h5py
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model")
+        _write_model(g, model)
+
+
+def _write_model(g, model: MCQModel) -> None:
+    g.attrs["method"] = model.method
+    g.attrs["h"] = model.h
+    _put(g, "codebooks", model.codebooks)
+    _put(g, "R", model.R)
+    if model.train_codes is not None:
+        _put(g, "train_codes", _codes_np(model.train_codes, model.h))
+
+
+def _codes_np(B, h: int) -> np.ndarray:
+    B = np.asarray(B)
+    return B.astype(np.uint8) if h <= 256 else B.astype(np.int32)
+
+
+def _read_model(g) -> MCQModel:
+    tc = g.get("train_codes")
+    return MCQModel(
+        method=str(g.attrs["method"]),
+        codebooks=jnp.asarray(np.asarray(g["codebooks"])),
+        R=None if "R" not in g else jnp.asarray(np.asarray(g["R"])),
+        h=int(g.attrs["h"]),
+        train_codes=None if tc is None else jnp.asarray(
+            np.asarray(tc).astype(np.int32)))
+
+
+def load_model(path: str) -> MCQModel:
+    import h5py
+    with h5py.File(path, "r") as f:
+        return _read_model(f["model"])
+
+
+def save_index(path: str, index: MCQIndex) -> None:
+    """Persist a searchable index: the model, the base codes and the
+    norms byte — everything EXCEPT the scan structures, which
+    `load_index` rebuilds on device (cheap next to the encode they
+    encapsulate; base encoding at the reference's ilsiter=32 budget is
+    the expensive artifact being saved)."""
+    import h5py
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model")
+        _write_model(g, index.model)
+        _put(f, "codes", _codes_np(index.codes, index.model.h))
+        _put(f, "norms_codebook", index.norms_codebook)
+        if index.norm_codes is not None:
+            _put(f, "norm_codes", _codes_np(index.norm_codes, 256))
+        f.attrs["mode"] = index.mode
+        d = (index.scan_index.Xd.shape[1] if index.mode == "decoded"
+             else index.scan_index.d)
+        f.attrs["d"] = int(d)
+
+
+def load_index(path: str, mode: str | None = None) -> MCQIndex:
+    """Rebuild a saved index. ``mode`` overrides the saved layout
+    (e.g. load a "decoded"-saved index as "codes" on a smaller chip)."""
+    import h5py
+
+    from rayuela_tpu.search.scan_codes_pallas import build_codes_index
+    from rayuela_tpu.search.scan_pallas import build_index
+
+    with h5py.File(path, "r") as f:
+        model = _read_model(f["model"])
+        B = jnp.asarray(np.asarray(f["codes"]).astype(np.int32))
+        norms_cb = (None if "norms_codebook" not in f else
+                    jnp.asarray(np.asarray(f["norms_codebook"])))
+        norm_codes = (None if "norm_codes" not in f else
+                      jnp.asarray(np.asarray(f["norm_codes"])
+                                  .astype(np.int32)))
+        mode = str(f.attrs["mode"]) if mode is None else mode
+        d = int(f.attrs["d"])
+    if mode == "codes":
+        if norms_cb is not None and norms_cb.size > model.h:
+            # layout override from a decoded save: its 256-entry norms
+            # codebook cannot ride an (h < 256)-row LUT stack —
+            # re-derive an h-entry one from the saved base codes
+            from rayuela_tpu.search.norms import (get_norms_codebook,
+                                                  quantize_norms)
+            _, norms_cb = get_norms_codebook(
+                jax.random.PRNGKey(3), model.codebooks, B, h=model.h)
+            norm_codes, _ = quantize_norms(model.codebooks, B, norms_cb)
+        idx = build_codes_index(model.codebooks, B, pq=model.pq_layout,
+                                d=d, norms_cbook=norms_cb,
+                                norms_codes=norm_codes)
+    else:
+        nt = (None if norms_cb is None else
+              jnp.take(norms_cb, norm_codes))
+        idx = build_index(model.codebooks, B, pq=model.pq_layout, d=d,
+                          norm_term=nt)
+    return MCQIndex(model, B, idx, norms_cb, norm_codes, mode=mode)

@@ -45,6 +45,46 @@ def test_facade_rejects_unknown_method(data):
         api.train(Xt, method="nope")
 
 
+def test_save_load_roundtrip(rng, tmp_path):
+    """Model and index persistence: a reloaded index must search
+    identically to the live one (no re-encode), in both layouts and
+    across a layout override on load."""
+    import rayuela_tpu.api as rq
+    Xt = rng.standard_normal((600, 32)).astype(np.float32)
+    Xb = rng.standard_normal((800, 32)).astype(np.float32)
+    Q = Xb[:15] + 0.01 * rng.standard_normal((15, 32)).astype(np.float32)
+
+    for method in ("pq", "rvq"):          # pq layout + norms-byte path
+        model = rq.train(Xt, method=method, m=4, h=16, niter=4)
+        mp = tmp_path / f"{method}.model.h5"
+        rq.save_model(str(mp), model)
+        m2 = rq.load_model(str(mp))
+        assert m2.method == model.method and m2.h == model.h
+        np.testing.assert_array_equal(np.asarray(m2.codebooks),
+                                      np.asarray(model.codebooks))
+
+        for mode in ("decoded", "codes"):
+            idx = rq.index_base(model, Xb, mode=mode)
+            ip = tmp_path / f"{method}.{mode}.index.h5"
+            rq.save_index(str(ip), idx)
+            idx2 = rq.load_index(str(ip))
+            assert idx2.mode == mode
+            np.testing.assert_array_equal(np.asarray(idx2.codes),
+                                          np.asarray(idx.codes))
+            d1, i1 = rq.search(idx, Q, k=10)
+            d2, i2 = rq.search(idx2, Q, k=10)
+            np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+        # layout override: decoded-saved index reloaded code-resident
+        idx3 = rq.load_index(str(tmp_path / f"{method}.decoded.index.h5"),
+                             mode="codes")
+        assert idx3.mode == "codes"
+        d3, i3 = rq.search(idx3, Q, k=10)
+        assert (np.asarray(i3) < 800).all()
+
+
 def test_codes_mode_index_and_search(rng):
     """mode='codes' end-to-end through the facade: PQ layout and an
     additive method with quantized-norms byte."""
