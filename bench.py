@@ -11,11 +11,11 @@ Emits one JSON line per metric: ``{"metric", "value", "unit",
   decoded index, verification included (exact for bf16-rounded scores).
   vs_baseline divides by a documented ~2,000 qps estimate of the
   reference's 16-core OpenMP scan (no number is published in-repo).
-* ``codes_scan_qps_sift1m_m8_knn1000`` / ``..._m16_knn1000`` — same
-  protocol on the CODE-RESIDENT index (`search/scan_codes_pallas`):
-  ~8/16 MB of packed codes on chip instead of a 512 MB decode; this is
-  the apples-to-apples memory model vs the reference's LUT scan, at
-  both the 64-bit and 128-bit code sizes.
+* ``codes_scan_qps_sift1m_m{8,16}_knn{1000,100}`` — same protocol on
+  the CODE-RESIDENT index (`search/scan_codes_pallas`): ~8/16 MB of
+  packed codes on chip instead of a 512 MB decode; this is the
+  apples-to-apples memory model vs the reference's LUT scan, at both
+  the 64-bit and 128-bit code sizes.
 * ``icm_encode_vps_m8`` / ``_m16`` — LSQ-family ILS/ICM encode
   (ilsiter=8, icmiter=4, npert=4; reference
   `demos/demos_train_query_base.jl:64-67`) in vectors/s on the Pallas
@@ -132,13 +132,17 @@ def bench_scan_codes(jax, jnp, rng, C, B, Q):
                   f"({type(e).__name__}: {e})", flush=True)
             continue
 
-        def call(idx=idx):
-            out = search_codes(idx, Q, KNN)
-            jax.block_until_ready(out)
-            _ = np.asarray(out[0][0, 0])
-        qps = NQ / _best_of(call)
-        emit(f"codes_scan_qps_sift1m_m{m}_knn1000", qps, "queries/s",
-             qps / SCAN_BASELINE_QPS)
+        for knn in (KNN, 100):
+            out = search_codes(idx, Q, knn)               # compile/warm
+            _ = np.asarray(out[0][0, :1])
+
+            def call(idx=idx, knn=knn):
+                out = search_codes(idx, Q, knn)
+                jax.block_until_ready(out)
+                _ = np.asarray(out[0][0, 0])
+            qps = NQ / _best_of(call)
+            emit(f"codes_scan_qps_sift1m_m{m}_knn{knn}", qps,
+                 "queries/s", qps / SCAN_BASELINE_QPS)
         del idx
 
 
