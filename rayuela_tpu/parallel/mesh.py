@@ -131,7 +131,8 @@ def sharded_scan_topk(mesh: Mesh, Q: Array, C: Array, B: Array, *,
 @_functools.lru_cache(maxsize=64)
 def _sharded_search_fn(mesh: Mesh, n: int, shard_n: int, klocal: int,
                        k: int, r: int, bq: int, tile: int,
-                       interpret: bool, pack: bool, keep: int = 0):
+                       interpret: bool, pack: bool, keep: int = 0,
+                       stage: int = 0, vmem_mb: int | None = None):
     from jax import shard_map
 
     from rayuela_tpu.search.scan_pallas import pallas_scan_topk
@@ -142,7 +143,8 @@ def _sharded_search_fn(mesh: Mesh, n: int, shard_n: int, klocal: int,
         d, i, fl = pallas_scan_topk(Q, Xd, x2, k=klocal, r=r, bq=bq,
                                     tile=tile, verify=True,
                                     interpret=interpret, pack=pack,
-                                    keep=keep)
+                                    keep=keep, stage=stage,
+                                    vmem_mb=vmem_mb)
         shard = jax.lax.axis_index("data")
         i = i + shard * shard_n
         d = jnp.where(i < n, d, jnp.inf)
@@ -187,13 +189,18 @@ def sharded_search(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
     klocal = min(k, shard_n)
     if pack is None:
         pack = not interpret
-    ar, abq, atile, akeep = _auto_config(
+    ar, abq, atile, akeep, astage = _auto_config(
         klocal, Q.shape[0], pack, f32_index=Xd.dtype == jnp.float32)
+    stage = astage
+    if r is not None or tile is not None:
+        stage = 0             # explicit config: per-tile merge semantics
     r = ar if r is None else r
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile
     fn = _sharded_search_fn(mesh, n, shard_n, klocal, k, r, bq, tile,
-                            interpret, pack, akeep if pack else 0)
+                            interpret, pack, akeep if pack else 0,
+                            stage if pack else 0,
+                            64 if (stage or tile > 4096) else None)
     return fn(Q, Xp, x2p)
 
 

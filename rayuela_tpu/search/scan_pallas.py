@@ -323,6 +323,65 @@ def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
         cpd.wait()
 
 
+def _select_insert_packed_staged(s: Array, t, bufp, stagep, dminp, sem,
+                                 outp_ref, *, rows: int, r: int,
+                                 ntiles: int, bq: int, idbits: int,
+                                 keep: int, stage: int):
+    """Staged variant of `_select_insert_packed`: each tile still
+    pre-reduces EXACTLY to its per-lane top-``keep`` (so the flag rate
+    is unchanged), but the reduced keys go to a staging buffer and the
+    expensive ``(r + keep·stage)``-wide buffer merge runs once every
+    ``stage`` tiles instead of every tile — the per-tile merge was
+    ~5 compare-exchange stages over r+keep rows, comparable to the
+    pre-reduction itself (measured: selection ≈ 46% of the kernel at
+    k=1000). The certificate is identical: per-tile discard-mins
+    accumulate as before, and evictions only ever happen in the
+    periodic merge, whose min-evicted row is tracked the same way."""
+    imax = jnp.iinfo(jnp.int32).max
+
+    @pl.when(t == 0)
+    def _():
+        bufp[:] = jnp.full(bufp.shape, imax, jnp.int32)
+        dminp[:] = jnp.full(dminp.shape, imax, jnp.int32)
+
+    @pl.when(lax.rem(t, stage) == 0)
+    def _():
+        stagep[:] = jnp.full(stagep.shape, imax, jnp.int32)
+
+    kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits)
+    kv, disc_min = _prered_topk(kv, keep)
+    if disc_min is not None:
+        dminp[:] = jnp.minimum(dminp[:], disc_min[None])
+    stagep[pl.ds(lax.rem(t, stage) * keep, keep)] = kv
+
+    @pl.when((lax.rem(t, stage) == stage - 1) | (t == ntiles - 1))
+    def _():
+        # staged rows: `stage` descending runs of `keep` (empty slots
+        # = imax, which a descending sort floats to the top where they
+        # lose the ascending merge); full sort is the simple, safe
+        # form — it costs O(log^2(keep*stage)) stages once per
+        # `stage` tiles
+        sv = _apply_network1(stagep[:], _sort_stages(keep * stage),
+                             descending=True)
+        mv = jnp.concatenate([bufp[:], sv], axis=0)
+        mv = _apply_network1(mv, _merge_stages(r + keep * stage))
+        bufp[:] = mv[:r]
+        dminp[:] = jnp.minimum(dminp[:], mv[r:r + 1])
+
+    qb = pl.program_id(0)
+
+    @pl.when(t == ntiles - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            bufp, outp_ref.at[:r, :, pl.ds(qb * bq, bq)], sem.at[0])
+        cpd = pltpu.make_async_copy(
+            dminp, outp_ref.at[r:, :, pl.ds(qb * bq, bq)], sem.at[1])
+        cp.start()
+        cpd.start()
+        cp.wait()
+        cpd.wait()
+
+
 def _distance_block(qt_ref, x_ref, x2_ref):
     """(tile, Bq) squared distances, up to the per-query |q|^2 term."""
     return -2.0 * lax.dot_general(
@@ -389,6 +448,19 @@ def _scan_kernel_packed(qt_ref, x_ref, x2_ref, outp_ref, bufp, dminp,
     _select_insert_packed(s, t, bufp, dminp, sem, outp_ref, rows=rows,
                           r=r, ntiles=ntiles, bq=bq, idbits=idbits,
                           keep=keep)
+
+
+def _scan_kernel_packed_staged(qt_ref, x_ref, x2_ref, outp_ref, bufp,
+                               stagep, dminp, sem, *, rows: int, r: int,
+                               ntiles: int, bq: int, idbits: int,
+                               keep: int, stage: int):
+    """pack32 + staged buffer merge (see `_select_insert_packed_staged`)."""
+    t = pl.program_id(1)
+    s = _distance_block(qt_ref, x_ref, x2_ref)
+    _select_insert_packed_staged(s, t, bufp, stagep, dminp, sem,
+                                 outp_ref, rows=rows, r=r,
+                                 ntiles=ntiles, bq=bq, idbits=idbits,
+                                 keep=keep, stage=stage)
 
 
 def _count_below(s: Array, t, tau_ref, *, rows: int, bq: int,
@@ -779,14 +851,14 @@ def candidate_ids(outi: Array, nq: int, r: int) -> Array:
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
                               "interpret", "pack", "keep", "tail",
-                              "vmem_mb"))
+                              "vmem_mb", "stage"))
 def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
                      r: int = 48, bq: int = 128, tile: int = 2048,
                      verify: bool = True, interpret: bool = False,
                      pack: bool = False, keep: int = 0,
                      tail: bool | None = None,
-                     vmem_mb: int | None = None
-                     ) -> tuple[Array, Array, Array]:
+                     vmem_mb: int | None = None,
+                     stage: int = 0) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k ADC scan over a decoded base.
 
     Args:
@@ -815,6 +887,10 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         kernel (`_tail_kernel`, VMEM-resident merge tree) instead of
         host XLA. Default: on for compiled packed runs, off in
         interpret mode (the kernel is equivalence-tested separately).
+      stage: pack32+keep-only — merge the running buffer once every
+        ``stage`` tiles (staging the per-tile pre-reduced keys in
+        between) instead of every tile; requires ``r + keep*stage`` a
+        power of two. Identical results and flag rate, less VPU work.
 
     Returns ``(dists (nq, k), ids (nq, k), flagged (nq,) bool)``.
     Flagged queries must be re-run via the exact XLA path (done by
@@ -833,9 +909,17 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         if keep & (keep - 1) or keep > rows:
             raise ValueError(f"keep={keep} must be a power of two "
                              f"<= tile/128={rows}")
-        if (r + keep) & (r + keep - 1):
-            raise ValueError(f"r+keep={r + keep} must be a power of "
+        w = r + keep * max(1, stage)
+        if w & (w - 1):
+            raise ValueError(f"r+keep*stage={w} must be a power of "
                              "two (bitonic merge width)")
+        if stage and keep >= rows:
+            raise ValueError("staged merge requires keep < tile/128")
+        if stage and (keep * stage) & (keep * stage - 1):
+            raise ValueError(f"keep*stage={keep * stage} must be a "
+                             "power of two (staging-sort width)")
+    elif stage:
+        raise ValueError("stage requires keep pre-reduction")
     elif (r + rows) & (r + rows - 1):
         raise ValueError(f"r+tile/128={r + rows} must be a power of two "
                          "(bitonic merge width)")
@@ -868,9 +952,26 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         vmem_limit_bytes=vmem_mb * 1024 * 1024)
         if vmem_mb else None)
     if idbits:
-        kern = functools.partial(_scan_kernel_packed, rows=rows, r=r,
-                                 ntiles=ntiles, bq=bq, idbits=idbits,
-                                 keep=keep)
+        if stage:
+            kern = functools.partial(
+                _scan_kernel_packed_staged, rows=rows, r=r,
+                ntiles=ntiles, bq=bq, idbits=idbits, keep=keep,
+                stage=stage)
+            scratch = [
+                pltpu.VMEM((r, LANES, bq), jnp.int32),
+                pltpu.VMEM((keep * stage, LANES, bq), jnp.int32),
+                pltpu.VMEM((1, LANES, bq), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            kern = functools.partial(_scan_kernel_packed, rows=rows,
+                                     r=r, ntiles=ntiles, bq=bq,
+                                     idbits=idbits, keep=keep)
+            scratch = [
+                pltpu.VMEM((r, LANES, bq), jnp.int32),
+                pltpu.VMEM((1, LANES, bq), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
         outp = pl.pallas_call(
             kern,
             grid=(nqb, ntiles),
@@ -878,11 +979,7 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((r + 1, LANES, nqp),
                                            jnp.int32),
-            scratch_shapes=[
-                pltpu.VMEM((r, LANES, bq), jnp.int32),
-                pltpu.VMEM((1, LANES, bq), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch,
             compiler_params=cparams,
             interpret=interpret,
         )(QT, Xp, x2p)
@@ -988,26 +1085,38 @@ def build_index(C: Array, B: Array, *, pq: bool = False,
 
 
 def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False):
-    """Measured-best (r, bq, tile, keep) per k class (1x v5e sweeps,
-    demos/bench_prered.py + /tmp/cert2 follow-up, 2026-08-17). With
-    keep pre-reduction + the in-scan certificate: k=100 68.8k qps at
-    (14, 256, 4096, keep=2) on a bf16 index, k=1000 32.4k at
-    (28, 256, 4096, keep=4). The tile=4096 configs exceed VMEM with an
-    f32 index (the compiler crashes), so f32 falls back to the
-    measured tile=2048 equivalents (67k / 31k). f32+i32 selection mode
-    keeps the round-1 configs (its buffers are 2x)."""
+    """Measured-best (r, bq, tile, keep, stage) per k class (1x v5e
+    sweeps: demos/bench_prered.py, /tmp/cert2, /tmp/bench_staged.py,
+    2026-08-17). With keep pre-reduction + the in-scan certificate +
+    the staged buffer merge: k=100 77.5k qps kernel-level at
+    (16, 256, 4096, keep=2, stage=8) on a bf16 index, k=1000 59.6k at
+    (32, 256, 4096, 4, 8) — the staged merge runs the (r+keep*stage)
+    buffer merge once per `stage` tiles, worth ~7% at k=1000 over the
+    per-tile merge. The tile=4096 configs exceed VMEM with an f32
+    index (the compiler crashes), so f32 falls back to the measured
+    tile=2048 per-tile-merge equivalents. f32+i32 selection mode keeps
+    the round-1 configs (its buffers are 2x)."""
     if not pack:
-        return (16 if k <= 512 else 48), 128, 2048, 0
-    tile = 2048 if f32_index else 4096
-    if k <= 512:
-        r, bq, keep = 14, (512 if f32_index else 256), 2
-    elif k <= 28 * LANES:
-        r, bq, keep = 28, 256, 4
+        return (16 if k <= 512 else 48), 128, 2048, 0, 0
+    if f32_index:
+        tile = 2048
+        if k <= 512:
+            r, bq, keep, stage = 14, 512, 2, 0
+        elif k <= 28 * LANES:
+            r, bq, keep, stage = 28, 256, 4, 0
+        else:
+            r, bq, keep, stage = 56, 128, 8, 0
     else:
-        r, bq, keep = 56, 128, 8
+        tile = 4096
+        if k <= 512:
+            r, bq, keep, stage = 16, 256, 2, 8
+        elif k <= 32 * LANES:
+            r, bq, keep, stage = 32, 256, 4, 8
+        else:
+            r, bq, keep, stage = 56, 128, 8, 0
     # don't pad tiny query batches up to a huge block
     bqnq = max(128, 1 << (nq - 1).bit_length())
-    return r, min(bq, bqnq), tile, keep
+    return r, min(bq, bqnq), tile, keep, stage
 
 
 def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
@@ -1030,18 +1139,21 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     (see `pallas_scan_topk`)."""
     if pack is None:
         pack = not interpret
-    ar, abq, atile, akeep = _auto_config(
+    ar, abq, atile, akeep, astage = _auto_config(
         k, Q.shape[0], pack, f32_index=index.Xd.dtype == jnp.float32)
+    stage = astage
+    if r is not None or keep is not None or tile is not None:
+        stage = 0             # explicit config: per-tile merge semantics
     r = ar if r is None else r
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile
     keep = akeep if keep is None else keep
-    if vmem_mb is None and tile > 4096:
+    if vmem_mb is None and (tile > 4096 or stage):
         vmem_mb = 64          # beyond the 16 MB scoped-VMEM default
     dists, ids, flagged = pallas_scan_topk(
         Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
         verify=True, interpret=interpret, pack=pack, keep=keep,
-        vmem_mb=vmem_mb)
+        vmem_mb=vmem_mb, stage=stage)
     flagged = np.asarray(flagged)
     if flagged.any():
         from rayuela_tpu.search.linscan import exact_rescan

@@ -224,6 +224,57 @@ def test_prered_per_tile_overflow_is_flagged(rng):
                 picked[0], np.sort(D[q])[:8], rtol=3e-3, atol=3e-3)
 
 
+def test_staged_merge_matches_per_tile_merge(rng):
+    """stage>0 merges the running buffer every `stage` tiles instead of
+    every tile — the candidate set it keeps is mathematically the same
+    top-r, so when neither run flags, ids and values must be IDENTICAL
+    (same packed total order)."""
+    nq, n, d, k = 10, 50_000, 64, 50     # ragged: 25 tiles, stage=8
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    d1, i1, f1 = run(Q, Xd, k=k, r=14, bq=8, tile=2048, pack=True,
+                     keep=2)
+    d2, i2, f2 = run(Q, Xd, k=k, r=16, bq=8, tile=2048, pack=True,
+                     keep=2, stage=8)
+    assert not np.asarray(f1).any() and not np.asarray(f2).any()
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
+
+
+def test_staged_merge_overflow_is_flagged(rng):
+    """The staged kernel's certificate must still catch per-tile
+    overflows (same construction as the per-tile variant's test)."""
+    nq, n, d, keep = 3, 16_384, 16, 2
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32) + 100.0
+    for t in range(4):
+        Xd[t * 128 + 64] = Q[0] + 1e-3 * rng.standard_normal(d)
+    dists, ids, flagged = run(Q, Xd, k=8, r=16, bq=4, tile=1024,
+                              pack=True, keep=2, stage=8)
+    flagged = np.asarray(flagged)
+    assert flagged[0], "per-tile overflow must be flagged"
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    for q in range(1, nq):
+        if not flagged[q]:
+            picked = np.take_along_axis(D[q:q+1],
+                                        np.asarray(ids)[q:q+1], axis=1)
+            np.testing.assert_allclose(
+                picked[0], np.sort(D[q])[:8], rtol=3e-3, atol=3e-3)
+
+
+def test_staged_merge_validation(rng):
+    Q = rng.standard_normal((4, 32)).astype(np.float32)
+    Xd = rng.standard_normal((9000, 32)).astype(np.float32)
+    with pytest.raises(ValueError):        # stage needs keep
+        run(Q, Xd, k=8, r=16, bq=4, tile=1024, pack=True, stage=8)
+    with pytest.raises(ValueError):        # r+keep*stage not pow2
+        run(Q, Xd, k=8, r=14, bq=4, tile=1024, pack=True, keep=2,
+            stage=8)
+    with pytest.raises(ValueError):        # keep*stage not pow2
+        run(Q, Xd, k=8, r=26, bq=4, tile=1024, pack=True, keep=2,
+            stage=3)
+
+
 def test_prered_validation(rng):
     Q = rng.standard_normal((4, 32)).astype(np.float32)
     Xd = rng.standard_normal((1000, 32)).astype(np.float32)
@@ -401,7 +452,8 @@ def test_auto_config_valid_across_k_classes():
         for nq in (1, 7, 128, 2000, 10_000):
             for pack in (False, True):
                 for f32 in (False, True):
-                    r, bq, tile, keep = _auto_config(k, nq, pack, f32)
+                    r, bq, tile, keep, stage = _auto_config(
+                        k, nq, pack, f32)
                     rows = tile // LANES
                     assert rows & (rows - 1) == 0
                     assert bq >= 1
@@ -409,6 +461,11 @@ def test_auto_config_valid_across_k_classes():
                     assert k <= r * LANES or k > kmax
                     if pack and keep:
                         assert keep & (keep - 1) == 0 and keep <= rows
-                        assert (r + keep) & (r + keep - 1) == 0
+                        w = r + keep * max(1, stage)
+                        assert w & (w - 1) == 0
+                        if stage:
+                            ks = keep * stage
+                            assert ks & (ks - 1) == 0 and keep < rows
                     else:
+                        assert stage == 0
                         assert (r + rows) & (r + rows - 1) == 0
