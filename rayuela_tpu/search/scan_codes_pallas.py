@@ -47,6 +47,7 @@ from rayuela_tpu.search.scan_pallas import (LANES, _apply_network,
                                             _pack_idbits,
                                             _packed_candidates,
                                             _select_insert_packed,
+                                            _select_insert_packed_staged,
                                             _sort_stages,
                                             _tail_candidates_pallas,
                                             candidate_ids)
@@ -275,16 +276,14 @@ def _decode_tile(cflat_ref, codes_ref, *, m: int, h: int, op_dtype):
     return acc
 
 
-def _codes_decode_kernel_packed(qt_ref, cflat_ref, nrm_ref, codes_ref,
-                                outp_ref, bufp, dminp, sem, *,
-                                rows: int, r: int, ntiles: int, bq: int,
-                                m: int, h: int, n: int, has_norms: bool,
-                                op_dtype, idbits: int, keep: int = 0):
-    """Decode-then-distance kernel: ``qt`` carries -2*Q^T, so the score
-    block is ``Xt @ qt + x2`` with ``x2`` either the decoded |x_hat|^2
-    (PQ/OPQ — subspaces are disjoint, so the in-kernel row norm IS the
-    true norm) or the quantized-norms byte's table value (additive)."""
-    t = pl.program_id(1)
+def _decode_scores(qt_ref, cflat_ref, nrm_ref, codes_ref, t, *,
+                   rows: int, bq: int, m: int, h: int, n: int,
+                   has_norms: bool, op_dtype) -> Array:
+    """Masked (tile, Bq) score block for the decode-mode kernels:
+    ``qt`` carries -2*Q^T, so the block is ``Xt @ qt + x2`` with ``x2``
+    either the decoded |x_hat|^2 (PQ/OPQ — subspaces are disjoint, so
+    the in-kernel row norm IS the true norm) or the quantized-norms
+    byte's table value (additive)."""
     Xt = _decode_tile(cflat_ref, codes_ref, m=m, h=h, op_dtype=op_dtype)
     if has_norms:
         tile = codes_ref.shape[1]
@@ -303,10 +302,40 @@ def _codes_decode_kernel_packed(qt_ref, cflat_ref, nrm_ref, codes_ref,
                         preferred_element_type=jnp.float32) + x2
     tile = rows * LANES
     gid2 = t * tile + lax.broadcasted_iota(jnp.int32, (tile, bq), 0)
-    s = jnp.where(gid2 < n, s, jnp.inf)
+    return jnp.where(gid2 < n, s, jnp.inf)
+
+
+def _codes_decode_kernel_packed(qt_ref, cflat_ref, nrm_ref, codes_ref,
+                                outp_ref, bufp, dminp, sem, *,
+                                rows: int, r: int, ntiles: int, bq: int,
+                                m: int, h: int, n: int, has_norms: bool,
+                                op_dtype, idbits: int, keep: int = 0):
+    t = pl.program_id(1)
+    s = _decode_scores(qt_ref, cflat_ref, nrm_ref, codes_ref, t,
+                       rows=rows, bq=bq, m=m, h=h, n=n,
+                       has_norms=has_norms, op_dtype=op_dtype)
     _select_insert_packed(s, t, bufp, dminp, sem, outp_ref, rows=rows,
                           r=r, ntiles=ntiles, bq=bq, idbits=idbits,
                           keep=keep)
+
+
+def _codes_decode_kernel_packed_staged(qt_ref, cflat_ref, nrm_ref,
+                                       codes_ref, outp_ref, bufp, stagep,
+                                       dminp, sem, *, rows: int, r: int,
+                                       ntiles: int, bq: int, m: int,
+                                       h: int, n: int, has_norms: bool,
+                                       op_dtype, idbits: int, keep: int,
+                                       stage: int):
+    """Decode-mode + staged buffer merge (see
+    `scan_pallas._select_insert_packed_staged`)."""
+    t = pl.program_id(1)
+    s = _decode_scores(qt_ref, cflat_ref, nrm_ref, codes_ref, t,
+                       rows=rows, bq=bq, m=m, h=h, n=n,
+                       has_norms=has_norms, op_dtype=op_dtype)
+    _select_insert_packed_staged(s, t, bufp, stagep, dminp, sem,
+                                 outp_ref, rows=rows, r=r,
+                                 ntiles=ntiles, bq=bq, idbits=idbits,
+                                 keep=keep, stage=stage)
 
 
 def build_decode_operands(C: Array, *, pq: bool, d: int,
@@ -336,7 +365,8 @@ def build_decode_operands(C: Array, *, pq: bool, d: int,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify", "pq",
-                              "interpret", "op_dtype", "keep", "tail"))
+                              "interpret", "op_dtype", "keep", "tail",
+                              "stage", "vmem_mb"))
 def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
                                   packed: Array, *, k: int, pq: bool,
                                   r: int = 28, bq: int = 256,
@@ -344,7 +374,9 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
                                   verify: bool = True,
                                   interpret: bool = False,
                                   op_dtype=jnp.bfloat16,
-                                  tail: bool | None = None
+                                  tail: bool | None = None,
+                                  stage: int = 0,
+                                  vmem_mb: int | None = None
                                   ) -> tuple[Array, Array, Array]:
     """Top-k over packed codes via in-kernel decode (always pack32).
 
@@ -352,7 +384,15 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
     (exclude +|q|^2): PQ/OPQ get true-distance terms from the decoded
     row norm, additive models read the norms byte's table (``nrm``).
     Returns ``(scores, ids, flagged)`` with the exact min-discarded
-    certificate."""
+    certificate.
+
+    ``stage`` (needs ``keep``) merges the running buffer once every
+    ``stage`` tiles instead of every tile (identical results, less VPU
+    work — see `scan_pallas.pallas_scan_topk`). ``vmem_mb`` raises the
+    compiler's scoped-VMEM limit, which the wide-``bq`` configs need:
+    widening the query block divides the dominant per-tile decode cost
+    by ``bq`` but grows the (r, 128, bq) running buffer past the 16 MB
+    default."""
     nq, d = Q.shape
     mh, dp = Cflat.shape
     h = nrm.shape[0]
@@ -369,7 +409,16 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
     wide = keep if (keep and keep < rows) else rows
     if keep and (keep & (keep - 1) or keep > rows):
         raise ValueError(f"keep={keep} must be a power of two <= {rows}")
-    if (r + wide) & (r + wide - 1):
+    if stage:
+        if not keep or keep >= rows:
+            raise ValueError("staged merge requires 0 < keep < tile/128")
+        w = r + keep * stage
+        if w & (w - 1):
+            raise ValueError(f"r+keep*stage={w} must be a power of two")
+        if (keep * stage) & (keep * stage - 1):
+            raise ValueError(f"keep*stage={keep * stage} must be a "
+                             "power of two (staging-sort width)")
+    elif (r + wide) & (r + wide - 1):
         raise ValueError(f"r+{wide}={r + wide} must be a power of two")
 
     npad = cdiv(n, tile) * tile
@@ -383,10 +432,30 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
         op_dtype).T                                       # (dp, nqp)
     PT = jnp.pad(packed, ((0, npad - n), (0, 0))).T       # (nw, npad)
 
-    kern = functools.partial(
-        _codes_decode_kernel_packed, rows=rows, r=r, ntiles=ntiles,
-        bq=bq, m=m, h=h, n=n, has_norms=has_norms, op_dtype=op_dtype,
-        idbits=idbits, keep=keep)
+    if stage:
+        kern = functools.partial(
+            _codes_decode_kernel_packed_staged, rows=rows, r=r,
+            ntiles=ntiles, bq=bq, m=m, h=h, n=n, has_norms=has_norms,
+            op_dtype=op_dtype, idbits=idbits, keep=keep, stage=stage)
+        scratch = [
+            pltpu.VMEM((r, LANES, bq), jnp.int32),
+            pltpu.VMEM((keep * stage, LANES, bq), jnp.int32),
+            pltpu.VMEM((1, LANES, bq), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kern = functools.partial(
+            _codes_decode_kernel_packed, rows=rows, r=r, ntiles=ntiles,
+            bq=bq, m=m, h=h, n=n, has_norms=has_norms, op_dtype=op_dtype,
+            idbits=idbits, keep=keep)
+        scratch = [
+            pltpu.VMEM((r, LANES, bq), jnp.int32),
+            pltpu.VMEM((1, LANES, bq), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    cparams = (pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_mb * 1024 * 1024)
+        if vmem_mb else None)
     outp = pl.pallas_call(
         kern,
         grid=(nqb, ntiles),
@@ -402,11 +471,8 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((r + 1, LANES, nqp), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((r, LANES, bq), jnp.int32),
-            pltpu.VMEM((1, LANES, bq), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
+        compiler_params=cparams,
         interpret=interpret,
     )(QT, Cflat, nrm, PT)
     kk = min(k, n)
@@ -633,14 +699,15 @@ _DECODE_SEG = (1 << 16) * LANES
 
 def _codes_auto_config(k: int, nq: int, pack: bool, mode: str,
                        mprime: int | None = None):
-    """Measured-best (r, bq, tile, keep) for the code-resident kernels
-    (1x v5e sweeps, demos/bench_codes_tune.py 2026-08-17: knn=1000
-    11.1k qps at (24, 256, 1024), knn=100 15.9k at (8, 512, 1024);
-    the LUT block scales with bq, so bq caps at 512 in lut mode).
-    Decode mode amortizes its per-tile decode over bq, so it prefers
-    the wider blocks."""
+    """Measured-best (r, bq, tile, keep, stage) for the code-resident
+    kernels (1x v5e sweeps, demos/bench_codes_tune.py 2026-08-17:
+    knn=1000 11.1k qps at (24, 256, 1024), knn=100 15.9k at
+    (8, 512, 1024); the LUT block scales with bq, so bq caps at 512 in
+    lut mode). Decode mode amortizes its per-tile decode over bq, so
+    it prefers the wider blocks; ``stage`` > 0 runs the buffer merge
+    once per `stage` tiles (decode-mode kernels only)."""
     if not pack:
-        return (16 if k <= 512 else 48), 128, 2048, 0
+        return (16 if k <= 512 else 48), 128, 2048, 0, 0
     if mode == "decode":
         # v5e sweeps (demos/bench_codes_decode.py +
         # /tmp/sweep_codes_tail.py post-tail-merge, 2026-08-17): m8
@@ -655,20 +722,22 @@ def _codes_auto_config(k: int, nq: int, pack: bool, mode: str,
                                  else (12, 512, 2048, 4))
         else:
             r, bq, tile, keep = 28, 256, 4096, 4
+        stage = 0
     elif k <= 512:
-        r, bq, tile, keep = 14, 512, 1024, 2
+        r, bq, tile, keep, stage = 14, 512, 1024, 2, 0
     else:
-        r, bq, tile, keep = 28, 256, 1024, 4
+        r, bq, tile, keep, stage = 28, 256, 1024, 4, 0
     bqnq = max(128, 1 << (nq - 1).bit_length())
-    return r, min(bq, bqnq), tile, keep
+    return r, min(bq, bqnq), tile, keep, stage
 
 
 def search_codes(index: CodesIndex, Q: Array, k: int, *,
                  r: int | None = None, bq: int | None = None,
                  tile: int | None = None, interpret: bool = False,
                  lut_dtype=jnp.bfloat16, pack: bool | None = None,
-                 keep: int | None = None,
-                 mode: str | None = None) -> tuple[Array, Array]:
+                 keep: int | None = None, mode: str | None = None,
+                 stage: int | None = None,
+                 vmem_mb: int | None = None) -> tuple[Array, Array]:
     """Exact top-k (for the kernel scores) over a packed-code index:
     fused kernel + XLA LUT re-scan for flagged queries. Returns true
     squared distances for PQ/additive-with-norms conventions (adds the
@@ -686,12 +755,18 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         pack = not interpret
     if mode is None:
         mode = "decode"
-    ar, abq, atile, akeep = _codes_auto_config(k, Q.shape[0], pack,
-                                               mode, index.mprime)
+    ar, abq, atile, akeep, astage = _codes_auto_config(
+        k, Q.shape[0], pack, mode, index.mprime)
+    if stage is None:
+        # explicit config overrides keep per-tile merge semantics
+        stage = 0 if (r is not None or keep is not None
+                      or tile is not None) else astage
     r = ar if r is None else r
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile
     keep = akeep if keep is None else keep
+    if vmem_mb is None and (stage or tile > 4096 or bq > 512):
+        vmem_mb = 64          # beyond the 16 MB scoped-VMEM default
     d = Q.shape[1] if index.d in (-1, None) else index.d
     if mode == "decode":
         # Packed row ids span 16 bits (8.4M rows/call); bigger bases
@@ -709,7 +784,8 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
             return pallas_scan_codes_decode_topk(
                 Qj, Cf, nrm, packed_seg, k=kseg, pq=index.pq, r=r,
                 bq=bq, tile=tile, keep=keep if keep else 0,
-                verify=True, interpret=interpret, op_dtype=lut_dtype)
+                verify=True, interpret=interpret, op_dtype=lut_dtype,
+                stage=stage, vmem_mb=vmem_mb)
 
         def lut_rescan(qsel, starts, kfor):
             """Exact XLA LUT oracle over the listed segments for the

@@ -196,7 +196,7 @@ def test_codes_auto_config_valid_across_classes():
             for pack in (False, True):
                 for mode in ("lut", "decode"):
                     for mp in (None, 4, 8, 11, 12, 16, 17):
-                        r, bq, tile, keep = _codes_auto_config(
+                        r, bq, tile, keep, stage = _codes_auto_config(
                             k, nq, pack, mode, mp)
                         rows = tile // LANES
                         assert rows & (rows - 1) == 0
@@ -204,8 +204,14 @@ def test_codes_auto_config_valid_across_classes():
                         if pack and keep:
                             assert (keep & (keep - 1) == 0
                                     and keep <= rows)
-                            assert (r + keep) & (r + keep - 1) == 0
+                            w = r + keep * max(1, stage)
+                            assert w & (w - 1) == 0
+                            if stage:
+                                ks = keep * stage
+                                assert ks & (ks - 1) == 0
+                                assert keep < rows
                         else:
+                            assert stage == 0
                             assert (r + rows) & (r + rows - 1) == 0
 
 
@@ -279,6 +285,40 @@ def test_decode_mode_pq_matches_brute(rng):
     np.testing.assert_allclose(picked, ref, rtol=3e-3, atol=3e-3)
     np.testing.assert_allclose(np.asarray(dists), ref, rtol=3e-3,
                                atol=3e-3)
+
+
+def test_decode_mode_staged_matches_per_tile(rng):
+    """Decode-mode staged buffer merge keeps mathematically the same
+    top-r as the per-tile merge: identical ids/values when unflagged."""
+    from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
+                                                      search_codes)
+    d, m, h, n, nq, k = 32, 4, 16, 20_000, 9, 30   # ragged: 20 tiles
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True, d=d)
+    kw = dict(interpret=True, mode="decode", lut_dtype=jnp.float32,
+              bq=8, tile=1024, keep=2)
+    d1, i1 = search_codes(idx, jnp.asarray(Q), k, r=14, stage=0, **kw)
+    d2, i2 = search_codes(idx, jnp.asarray(Q), k, r=16, stage=8, **kw)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_decode_mode_staged_validation(rng):
+    from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
+                                                      search_codes)
+    X, C, B = random_dataset(rng, d=16, n=4096, m=4, h=16, pq=True)
+    Q = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True,
+                            d=16)
+    kw = dict(interpret=True, mode="decode", bq=4, tile=1024)
+    with pytest.raises(ValueError):        # stage needs keep
+        search_codes(idx, Q, 8, r=16, keep=0, stage=8, **kw)
+    with pytest.raises(ValueError):        # r+keep*stage not pow2
+        search_codes(idx, Q, 8, r=14, keep=2, stage=8, **kw)
+    with pytest.raises(ValueError):        # keep*stage not pow2
+        search_codes(idx, Q, 8, r=26, keep=2, stage=3, **kw)
 
 
 def test_decode_mode_additive_with_norms_matches_lut_mode(rng):
