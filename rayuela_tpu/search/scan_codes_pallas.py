@@ -828,22 +828,59 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         # ~50 ms axon round-trip was ~20% of a 1e9-code call).
         bounds = [(st, min(st + seg, index.n))
                   for st in range(0, index.n, seg)]
-        best_s = best_i = None
-        fls = []
-        for start, stop in bounds:
-            s, i, fl = scan_segment(index.packed[start:stop],
-                                    min(k, stop - start))
-            fls.append(fl)
-            i = i + start
-            if best_s is None:
-                best_s, best_i = s, i
-            else:
-                cat_s = jnp.concatenate([best_s, s], axis=1)
-                cat_i = jnp.concatenate([best_i, i], axis=1)
-                neg, loc = lax.top_k(-cat_s, k)    # (nq, <=2k) merge
+        nfull = index.n // seg
+        rem = index.n - nfull * seg
+        nq = Qj.shape[0]
+        if nfull >= 2 and k <= seg:
+            # lax.scan over the equal-size segments: ONE dispatch for
+            # all full segments instead of a host loop (120 segment
+            # launches at n=1e9 cost ~6 s in dispatch + slice copies);
+            # the ragged remainder is one extra call.
+            Pfull = index.packed[:nfull * seg].reshape(nfull, seg, -1)
+
+            def body(carry, xs):
+                bs, bi = carry
+                pseg, segi = xs
+                s, i, fl = scan_segment(pseg, k)
+                i = i + segi * seg
+                cs = jnp.concatenate([bs, s], axis=1)
+                ci = jnp.concatenate([bi, i], axis=1)
+                neg, loc = lax.top_k(-cs, k)       # (nq, 2k) merge
+                return ((-neg, jnp.take_along_axis(ci, loc, axis=1)),
+                        fl)
+
+            init = (jnp.full((nq, k), jnp.inf, jnp.float32),
+                    jnp.zeros((nq, k), jnp.int32))
+            (best_s, best_i), fls = lax.scan(
+                body, init, (Pfull, jnp.arange(nfull)))
+            fl_any = jnp.any(fls, axis=0)
+            if rem:
+                s, i, fl = scan_segment(index.packed[nfull * seg:],
+                                        min(k, rem))
+                cs = jnp.concatenate([best_s, s], axis=1)
+                ci = jnp.concatenate([best_i, i + nfull * seg], axis=1)
+                neg, loc = lax.top_k(-cs, k)
                 best_s = -neg
-                best_i = jnp.take_along_axis(cat_i, loc, axis=1)
-        flagged = np.asarray(jnp.any(jnp.stack(fls), axis=0))
+                best_i = jnp.take_along_axis(ci, loc, axis=1)
+                fl_any = fl_any | fl
+            flagged = np.asarray(fl_any)
+        else:
+            best_s = best_i = None
+            fls = []
+            for start, stop in bounds:
+                s, i, fl = scan_segment(index.packed[start:stop],
+                                        min(k, stop - start))
+                fls.append(fl)
+                i = i + start
+                if best_s is None:
+                    best_s, best_i = s, i
+                else:
+                    cat_s = jnp.concatenate([best_s, s], axis=1)
+                    cat_i = jnp.concatenate([best_i, i], axis=1)
+                    neg, loc = lax.top_k(-cat_s, k)  # (nq, <=2k) merge
+                    best_s = -neg
+                    best_i = jnp.take_along_axis(cat_i, loc, axis=1)
+            flagged = np.asarray(jnp.any(jnp.stack(fls), axis=0))
         if flagged.any():
             # any flagged (query, segment) taints that query's merged
             # list: rebuild those queries exactly over ALL segments
