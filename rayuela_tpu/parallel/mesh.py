@@ -270,8 +270,8 @@ def sharded_search_codes(mesh: Mesh, T: Array, packed: Array, *,
     klocal = min(k + (Pp.shape[0] - n), shard_n)
     if pack is None:
         pack = not interpret
-    ar, abq, atile, akeep, _ = _codes_auto_config(klocal, T.shape[2],
-                                                  pack, "lut")
+    ar, abq, atile, akeep, _, _ = _codes_auto_config(
+        klocal, T.shape[2], pack, "lut")
     r = ar if r is None else r
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile
@@ -352,8 +352,8 @@ def sharded_search_codes_decode(mesh: Mesh, Q: Array, C: Array,
     Pp, n = pad_to_multiple(packed, ndata)
     shard_n = Pp.shape[0] // ndata
     klocal = min(k + (Pp.shape[0] - n), shard_n)
-    ar, abq, atile, akeep, _ = _codes_auto_config(klocal, Q.shape[0],
-                                                  True, "decode")
+    ar, abq, atile, akeep, _, _ = _codes_auto_config(
+        klocal, Q.shape[0], True, "decode")
     r = ar if r is None else r
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile

@@ -276,14 +276,12 @@ def _decode_tile(cflat_ref, codes_ref, *, m: int, h: int, op_dtype):
     return acc
 
 
-def _decode_scores(qt_ref, cflat_ref, nrm_ref, codes_ref, t, *,
-                   rows: int, bq: int, m: int, h: int, n: int,
-                   has_norms: bool, op_dtype) -> Array:
-    """Masked (tile, Bq) score block for the decode-mode kernels:
-    ``qt`` carries -2*Q^T, so the block is ``Xt @ qt + x2`` with ``x2``
-    either the decoded |x_hat|^2 (PQ/OPQ — subspaces are disjoint, so
-    the in-kernel row norm IS the true norm) or the quantized-norms
-    byte's table value (additive)."""
+def _decode_x2(cflat_ref, nrm_ref, codes_ref, *, m: int, h: int,
+               has_norms: bool, op_dtype) -> tuple[Array, Array]:
+    """Decoded tile (tile, dp) at op_dtype + its per-row norm column
+    ``x2`` (tile, 1): the decoded |x_hat|^2 (PQ/OPQ — subspaces are
+    disjoint, so the in-kernel row norm IS the true norm) or the
+    quantized-norms byte's table value (additive)."""
     Xt = _decode_tile(cflat_ref, codes_ref, m=m, h=h, op_dtype=op_dtype)
     if has_norms:
         tile = codes_ref.shape[1]
@@ -297,7 +295,17 @@ def _decode_scores(qt_ref, cflat_ref, nrm_ref, codes_ref, t, *,
                              preferred_element_type=jnp.float32)[:, :1]
     else:
         x2 = jnp.sum(Xt * Xt, axis=1, keepdims=True)
-    s = lax.dot_general(Xt.astype(op_dtype), qt_ref[:],
+    return Xt.astype(op_dtype), x2
+
+
+def _decode_scores(qt_ref, cflat_ref, nrm_ref, codes_ref, t, *,
+                   rows: int, bq: int, m: int, h: int, n: int,
+                   has_norms: bool, op_dtype) -> Array:
+    """Masked (tile, Bq) score block for the decode-mode kernels:
+    ``qt`` carries -2*Q^T, so the block is ``Xt @ qt + x2``."""
+    Xt, x2 = _decode_x2(cflat_ref, nrm_ref, codes_ref, m=m, h=h,
+                        has_norms=has_norms, op_dtype=op_dtype)
+    s = lax.dot_general(Xt, qt_ref[:],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32) + x2
     tile = rows * LANES
@@ -317,6 +325,39 @@ def _codes_decode_kernel_packed(qt_ref, cflat_ref, nrm_ref, codes_ref,
     _select_insert_packed(s, t, bufp, dminp, sem, outp_ref, rows=rows,
                           r=r, ntiles=ntiles, bq=bq, idbits=idbits,
                           keep=keep)
+
+
+def _codes_decode_kernel_packed_multi(qt_ref, cflat_ref, nrm_ref,
+                                      codes_ref, outp_ref, bufp, dminp,
+                                      sem, *, rows: int, r: int,
+                                      ntiles: int, bq: int, qsuper: int,
+                                      m: int, h: int, n: int,
+                                      has_norms: bool, op_dtype,
+                                      idbits: int, keep: int = 0):
+    """Two-level query blocking: decode the tile ONCE per query
+    SUPER-block of ``qsuper * bq`` queries, then run the distance
+    matmul + selection per ``bq``-wide sub-block. The per-tile decode
+    (m one-hot (h, tile) x (h, dp) matmuls) dominates the distance
+    matmul ``m*h / bq``-fold at bq=256/m=8/h=256; amortizing it over
+    the super-block divides that cost by ``qsuper`` while the running
+    buffers stay at the measured-best (r, LANES, bq) selection shape
+    (one buffer per sub-block, leading-indexed scratch)."""
+    t = pl.program_id(1)
+    qb = pl.program_id(0)
+    Xt, x2 = _decode_x2(cflat_ref, nrm_ref, codes_ref, m=m, h=h,
+                        has_norms=has_norms, op_dtype=op_dtype)
+    tile = rows * LANES
+    gid2 = t * tile + lax.broadcasted_iota(jnp.int32, (tile, bq), 0)
+    pad = gid2 >= n
+    for si in range(qsuper):
+        s = lax.dot_general(Xt, qt_ref[:, si * bq:(si + 1) * bq],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + x2
+        s = jnp.where(pad, jnp.inf, s)
+        _select_insert_packed(
+            s, t, bufp.at[si], dminp.at[si], sem, outp_ref, rows=rows,
+            r=r, ntiles=ntiles, bq=bq, idbits=idbits, keep=keep,
+            qstart=qb * (qsuper * bq) + si * bq)
 
 
 def _codes_decode_kernel_packed_staged(qt_ref, cflat_ref, nrm_ref,
@@ -366,7 +407,7 @@ def build_decode_operands(C: Array, *, pq: bool, d: int,
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify", "pq",
                               "interpret", "op_dtype", "keep", "tail",
-                              "stage", "vmem_mb"))
+                              "stage", "vmem_mb", "qsuper"))
 def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
                                   packed: Array, *, k: int, pq: bool,
                                   r: int = 28, bq: int = 256,
@@ -376,7 +417,8 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
                                   op_dtype=jnp.bfloat16,
                                   tail: bool | None = None,
                                   stage: int = 0,
-                                  vmem_mb: int | None = None
+                                  vmem_mb: int | None = None,
+                                  qsuper: int = 1
                                   ) -> tuple[Array, Array, Array]:
     """Top-k over packed codes via in-kernel decode (always pack32).
 
@@ -392,7 +434,10 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
     compiler's scoped-VMEM limit, which the wide-``bq`` configs need:
     widening the query block divides the dominant per-tile decode cost
     by ``bq`` but grows the (r, 128, bq) running buffer past the 16 MB
-    default."""
+    default. ``qsuper`` > 1 decodes each tile once per ``qsuper * bq``
+    queries (two-level query blocking — same division of the decode
+    cost WITHOUT widening the selection shape; the scratch grows
+    ``qsuper``-fold instead, one (r, 128, bq) buffer per sub-block)."""
     nq, d = Q.shape
     mh, dp = Cflat.shape
     h = nrm.shape[0]
@@ -412,6 +457,8 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
     if stage:
         if not keep or keep >= rows:
             raise ValueError("staged merge requires 0 < keep < tile/128")
+        if qsuper > 1:
+            raise ValueError("stage and qsuper are mutually exclusive")
         w = r + keep * stage
         if w & (w - 1):
             raise ValueError(f"r+keep*stage={w} must be a power of two")
@@ -422,8 +469,8 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
         raise ValueError(f"r+{wide}={r + wide} must be a power of two")
 
     npad = cdiv(n, tile) * tile
-    nqp = cdiv(nq, bq) * bq
-    ntiles, nqb = npad // tile, nqp // bq
+    nqp = cdiv(nq, bq * qsuper) * (bq * qsuper)
+    ntiles, nqb = npad // tile, nqp // (bq * qsuper)
     idbits = _pack_idbits(True, npad)
     if not idbits:
         raise ValueError(f"n={n} too large for packed row ids; shard")
@@ -432,7 +479,18 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
         op_dtype).T                                       # (dp, nqp)
     PT = jnp.pad(packed, ((0, npad - n), (0, 0))).T       # (nw, npad)
 
-    if stage:
+    if qsuper > 1:
+        kern = functools.partial(
+            _codes_decode_kernel_packed_multi, rows=rows, r=r,
+            ntiles=ntiles, bq=bq, qsuper=qsuper, m=m, h=h, n=n,
+            has_norms=has_norms, op_dtype=op_dtype, idbits=idbits,
+            keep=keep)
+        scratch = [
+            pltpu.VMEM((qsuper, r, LANES, bq), jnp.int32),
+            pltpu.VMEM((qsuper, 1, LANES, bq), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    elif stage:
         kern = functools.partial(
             _codes_decode_kernel_packed_staged, rows=rows, r=r,
             ntiles=ntiles, bq=bq, m=m, h=h, n=n, has_norms=has_norms,
@@ -460,7 +518,7 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
         kern,
         grid=(nqb, ntiles),
         in_specs=[
-            pl.BlockSpec((dp, bq), lambda qb, t: (0, qb),
+            pl.BlockSpec((dp, bq * qsuper), lambda qb, t: (0, qb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mh, dp), lambda qb, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -699,15 +757,16 @@ _DECODE_SEG = (1 << 16) * LANES
 
 def _codes_auto_config(k: int, nq: int, pack: bool, mode: str,
                        mprime: int | None = None):
-    """Measured-best (r, bq, tile, keep, stage) for the code-resident
-    kernels (1x v5e sweeps, demos/bench_codes_tune.py 2026-08-17:
-    knn=1000 11.1k qps at (24, 256, 1024), knn=100 15.9k at
-    (8, 512, 1024); the LUT block scales with bq, so bq caps at 512 in
-    lut mode). Decode mode amortizes its per-tile decode over bq, so
-    it prefers the wider blocks; ``stage`` > 0 runs the buffer merge
-    once per `stage` tiles (decode-mode kernels only)."""
+    """Measured-best (r, bq, tile, keep, stage, qsuper) for the
+    code-resident kernels (1x v5e sweeps, demos/bench_codes_tune.py
+    2026-08-17: knn=1000 11.1k qps at (24, 256, 1024), knn=100 15.9k
+    at (8, 512, 1024); the LUT block scales with bq, so bq caps at 512
+    in lut mode). Decode mode amortizes its per-tile decode over
+    bq * qsuper queries, so it prefers the wider blocks; ``stage`` > 0
+    runs the buffer merge once per `stage` tiles; ``qsuper`` > 1
+    decodes once per super-block of sub-blocks (two-level blocking)."""
     if not pack:
-        return (16 if k <= 512 else 48), 128, 2048, 0, 0
+        return (16 if k <= 512 else 48), 128, 2048, 0, 0, 1
     if mode == "decode":
         # v5e sweeps (demos/bench_codes_decode.py +
         # /tmp/sweep_codes_tail.py post-tail-merge, 2026-08-17): m8
@@ -722,13 +781,18 @@ def _codes_auto_config(k: int, nq: int, pack: bool, mode: str,
                                  else (12, 512, 2048, 4))
         else:
             r, bq, tile, keep = 28, 256, 4096, 4
+        qsuper = 1   # pending hardware sweep (bench_codes_qsuper.py)
         stage = 0
+        bqnq = max(128, 1 << (nq - 1).bit_length())
+        while qsuper > 1 and bq * qsuper > bqnq:
+            qsuper //= 2          # tiny query batches: no super-block
+        return r, min(bq, bqnq), tile, keep, stage, qsuper
     elif k <= 512:
         r, bq, tile, keep, stage = 14, 512, 1024, 2, 0
     else:
         r, bq, tile, keep, stage = 28, 256, 1024, 4, 0
     bqnq = max(128, 1 << (nq - 1).bit_length())
-    return r, min(bq, bqnq), tile, keep, stage
+    return r, min(bq, bqnq), tile, keep, stage, 1
 
 
 def search_codes(index: CodesIndex, Q: Array, k: int, *,
@@ -737,7 +801,8 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                  lut_dtype=jnp.bfloat16, pack: bool | None = None,
                  keep: int | None = None, mode: str | None = None,
                  stage: int | None = None,
-                 vmem_mb: int | None = None) -> tuple[Array, Array]:
+                 vmem_mb: int | None = None,
+                 qsuper: int | None = None) -> tuple[Array, Array]:
     """Exact top-k (for the kernel scores) over a packed-code index:
     fused kernel + XLA LUT re-scan for flagged queries. Returns true
     squared distances for PQ/additive-with-norms conventions (adds the
@@ -755,17 +820,21 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         pack = not interpret
     if mode is None:
         mode = "decode"
-    ar, abq, atile, akeep, astage = _codes_auto_config(
+    ar, abq, atile, akeep, astage, aqsuper = _codes_auto_config(
         k, Q.shape[0], pack, mode, index.mprime)
+    explicit = (r is not None or keep is not None or tile is not None
+                or bq is not None)
     if stage is None:
         # explicit config overrides keep per-tile merge semantics
-        stage = 0 if (r is not None or keep is not None
-                      or tile is not None) else astage
+        stage = 0 if explicit else astage
+    if qsuper is None:
+        qsuper = 1 if (explicit or stage) else aqsuper
     r = ar if r is None else r
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile
     keep = akeep if keep is None else keep
-    if vmem_mb is None and (stage or tile > 4096 or bq > 512):
+    if vmem_mb is None and (stage or tile > 4096 or bq > 512
+                            or qsuper > 1):
         vmem_mb = 64          # beyond the 16 MB scoped-VMEM default
     d = Q.shape[1] if index.d in (-1, None) else index.d
     if mode == "decode":
@@ -785,7 +854,7 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                 Qj, Cf, nrm, packed_seg, k=kseg, pq=index.pq, r=r,
                 bq=bq, tile=tile, keep=keep if keep else 0,
                 verify=True, interpret=interpret, op_dtype=lut_dtype,
-                stage=stage, vmem_mb=vmem_mb)
+                stage=stage, vmem_mb=vmem_mb, qsuper=qsuper)
 
         def lut_rescan(qsel, starts, kfor):
             """Exact XLA LUT oracle over the listed segments for the

@@ -263,7 +263,7 @@ def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int) -> Array:
 
 def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
                           *, rows: int, r: int, ntiles: int, bq: int,
-                          idbits: int, keep: int = 0):
+                          idbits: int, keep: int = 0, qstart=None):
     """pack32 selection tail: bitonic-sort the tile rows' packed keys
     descending, merge into the per-lane running top-R key buffer, DMA
     it to HBM on the last tile.
@@ -309,14 +309,14 @@ def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
     bufp[:] = mv[:r]
     dminp[:] = jnp.minimum(dminp[:], mv[r:r + 1])   # min evicted key
 
-    qb = pl.program_id(0)
+    q0 = pl.program_id(0) * bq if qstart is None else qstart
 
     @pl.when(t == ntiles - 1)
     def _():
         cp = pltpu.make_async_copy(
-            bufp, outp_ref.at[:r, :, pl.ds(qb * bq, bq)], sem.at[0])
+            bufp, outp_ref.at[:r, :, pl.ds(q0, bq)], sem.at[0])
         cpd = pltpu.make_async_copy(
-            dminp, outp_ref.at[r:, :, pl.ds(qb * bq, bq)], sem.at[1])
+            dminp, outp_ref.at[r:, :, pl.ds(q0, bq)], sem.at[1])
         cp.start()
         cpd.start()
         cp.wait()

@@ -196,11 +196,14 @@ def test_codes_auto_config_valid_across_classes():
             for pack in (False, True):
                 for mode in ("lut", "decode"):
                     for mp in (None, 4, 8, 11, 12, 16, 17):
-                        r, bq, tile, keep, stage = _codes_auto_config(
+                        (r, bq, tile, keep, stage,
+                         qsuper) = _codes_auto_config(
                             k, nq, pack, mode, mp)
                         rows = tile // LANES
                         assert rows & (rows - 1) == 0
                         assert bq >= 1
+                        assert qsuper >= 1
+                        assert not (stage and qsuper > 1)
                         if pack and keep:
                             assert (keep & (keep - 1) == 0
                                     and keep <= rows)
@@ -368,3 +371,63 @@ def test_decode_mode_segmented_matches_single(rng, monkeypatch):
     picked = np.take_along_axis(D, np.asarray(i2), axis=1)
     np.testing.assert_allclose(picked, np.asarray(d2), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_decode_mode_qsuper_matches_single(rng):
+    """Two-level query blocking (decode once per super-block) returns
+    identical ids/values to qsuper=1 — the selection math per
+    sub-block is unchanged, only decode reuse differs. Also exercises
+    ragged nq vs the bq*qsuper padding."""
+    from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
+                                                      search_codes)
+    d, m, h, n, nq, k = 32, 4, 16, 20_000, 9, 30
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True, d=d)
+    kw = dict(interpret=True, mode="decode", lut_dtype=jnp.float32,
+              r=28, bq=8, tile=1024, keep=4)
+    d1, i1 = search_codes(idx, jnp.asarray(Q), k, qsuper=1, **kw)
+    for qs in (2, 4):
+        d2, i2 = search_codes(idx, jnp.asarray(Q), k, qsuper=qs, **kw)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_decode_mode_qsuper_additive_with_norms(rng):
+    """qsuper with the quantized-norms byte: true distances vs brute
+    force through the norms-table score model."""
+    from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
+                                                      search_codes)
+    from rayuela_tpu.ops.qerror import reconstruct
+    d, m, h, n, nq, k = 24, 3, 16, 8_000, 6, 25
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    nrm_cb = np.sort(rng.random(8).astype(np.float32) * 20)
+    nrm_codes = rng.integers(0, 8, n).astype(np.int32)
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B),
+                            norms_cbook=jnp.asarray(nrm_cb),
+                            norms_codes=jnp.asarray(nrm_codes))
+    dq, iq = search_codes(idx, jnp.asarray(Q), k, interpret=True,
+                          mode="decode", lut_dtype=jnp.float32,
+                          r=28, bq=8, tile=1024, keep=4, qsuper=2)
+    Xd = np.asarray(reconstruct(jnp.asarray(C), jnp.asarray(B)))
+    s = (-2.0 * Q @ Xd.T + nrm_cb[nrm_codes][None, :]
+         + (Q ** 2).sum(-1, keepdims=True))
+    ref = np.sort(s, axis=1)[:, :k]
+    picked = np.take_along_axis(s, np.asarray(iq), axis=1)
+    np.testing.assert_allclose(picked, ref, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dq), ref, rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_decode_mode_qsuper_stage_mutually_exclusive(rng):
+    from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
+                                                      search_codes)
+    X, C, B = random_dataset(rng, d=16, n=4096, m=4, h=16, pq=True)
+    Q = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True,
+                            d=16)
+    with pytest.raises(ValueError):
+        search_codes(idx, Q, 8, interpret=True, mode="decode", bq=4,
+                     tile=1024, r=16, keep=2, stage=8, qsuper=2)
