@@ -286,7 +286,7 @@ def _sharded_search_codes_decode_fn(mesh: Mesh, n: int, shard_n: int,
                                     klocal: int, k: int, pq: bool,
                                     r: int, bq: int, tile: int,
                                     keep: int, op_dtype,
-                                    interpret: bool):
+                                    interpret: bool, qsuper: int = 1):
     from jax import shard_map
 
     from rayuela_tpu.search.scan_codes_pallas import (
@@ -298,7 +298,8 @@ def _sharded_search_codes_decode_fn(mesh: Mesh, n: int, shard_n: int,
         d, i, fl = pallas_scan_codes_decode_topk(
             Q, Cf, nrm, packed, k=klocal, pq=pq, r=r, bq=bq, tile=tile,
             keep=keep, verify=True, interpret=interpret,
-            op_dtype=op_dtype)
+            op_dtype=op_dtype, qsuper=qsuper,
+            vmem_mb=128 if qsuper > 1 else None)
         shard = jax.lax.axis_index("data")
         i = i + shard * shard_n
         d = jnp.where(i < n, d, jnp.inf)
@@ -326,7 +327,8 @@ def sharded_search_codes_decode(mesh: Mesh, Q: Array, C: Array,
                                 tile: int | None = None,
                                 keep: int | None = None,
                                 op_dtype=None,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                qsuper: int | None = None):
     """Multi-chip code-resident search with the IN-KERNEL-DECODE kernel
     (the default single-chip mode, 1.4-1.7x the LUT mode on hardware):
     packed codes shard over ``data``; queries, flattened codebooks and
@@ -352,15 +354,19 @@ def sharded_search_codes_decode(mesh: Mesh, Q: Array, C: Array,
     Pp, n = pad_to_multiple(packed, ndata)
     shard_n = Pp.shape[0] // ndata
     klocal = min(k + (Pp.shape[0] - n), shard_n)
-    ar, abq, atile, akeep, _, _ = _codes_auto_config(
+    ar, abq, atile, akeep, _, aqsuper = _codes_auto_config(
         klocal, Q.shape[0], True, "decode")
+    explicit = (r is not None or keep is not None or tile is not None
+                or bq is not None)
+    if qsuper is None:
+        qsuper = 1 if (explicit or interpret) else aqsuper
     r = ar if r is None else r
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile
     keep = akeep if keep is None else keep
     fn = _sharded_search_codes_decode_fn(mesh, n, shard_n, klocal, k,
                                          pq, r, bq, tile, keep,
-                                         op_dtype, interpret)
+                                         op_dtype, interpret, qsuper)
     return fn(Q, Cf, nrm, Pp)
 
 

@@ -775,13 +775,20 @@ def _codes_auto_config(k: int, nq: int, pack: bool, mode: str,
         # per-tile often enough that its flagged-rescan cost dominates
         # (18.4k e2e); keep=4 avoids it: 30.8k at (12,512,2048,4),
         # and costs m8 only ~3% — used whenever m' > 11.
+        # qsuper sweeps (demos/bench_codes_qsuper{,2,3}.py 2026-08-18):
+        # two-level blocking beats qs1 everywhere — m8 knn=1000 39.2k
+        # qps at qs8 (was 29.4k in-run), knn=100 48.7k at keep2/qs4
+        # (was 17.9-39.6k); m16 knn=1000 qs4, knn=100 qs2. Beyond the
+        # winner the scratch-resident buffers crowd out DMA overlap
+        # (m8 k=1000 qs16 33.3k < qs8).
+        small = mprime is None or mprime <= 11
         if k <= 512:
-            r, bq, tile, keep = ((14, 512, 2048, 2)
-                                 if mprime is None or mprime <= 11
-                                 else (12, 512, 2048, 4))
+            r, bq, tile, keep, qsuper = ((14, 512, 2048, 2, 4)
+                                         if small
+                                         else (12, 512, 2048, 4, 2))
         else:
             r, bq, tile, keep = 28, 256, 4096, 4
-        qsuper = 1   # pending hardware sweep (bench_codes_qsuper.py)
+            qsuper = 8 if small else 4
         stage = 0
         bqnq = max(128, 1 << (nq - 1).bit_length())
         while qsuper > 1 and bq * qsuper > bqnq:
@@ -835,7 +842,10 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
     keep = akeep if keep is None else keep
     if vmem_mb is None and (stage or tile > 4096 or bq > 512
                             or qsuper > 1):
-        vmem_mb = 64          # beyond the 16 MB scoped-VMEM default
+        # beyond the 16 MB scoped-VMEM default; the qsuper scratch
+        # (qsuper, r, 128, bq) wants headroom for DMA overlap too
+        # (m16 qs4 at 48 MB runs 26% slower than at 128 MB)
+        vmem_mb = 128 if qsuper > 1 else 64
     d = Q.shape[1] if index.d in (-1, None) else index.d
     if mode == "decode":
         # Packed row ids span 16 bits (8.4M rows/call); bigger bases

@@ -171,6 +171,18 @@ def test_sharded_codes_decode_search_matches_local(rng, mesh):
     picked = np.take_along_axis(s64, np.asarray(i_sh), axis=1)
     np.testing.assert_allclose(picked, np.asarray(s_sh),
                                rtol=1e-4, atol=1e-3)
+    # qsuper (two-level query blocking) through the sharded wrapper:
+    # identical results, per-shard decode reused across sub-blocks
+    s_qs, i_qs, fl2 = sharded_search_codes_decode(
+        mesh, Q, jnp.asarray(C), packed, k=k, pq=True, d=d, r=28,
+        bq=4, tile=1024, keep=4, op_dtype=jnp.float32, interpret=True,
+        qsuper=2)
+    assert not np.asarray(fl2).any()
+    picked = np.take_along_axis(s64, np.asarray(i_qs), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s_qs), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-3)
 
 
 def test_sharded_pallas_search_matches_local(rng, mesh):
