@@ -89,3 +89,32 @@ def test_synthetic_unaffected_by_none_nbase():
     ds = read_dataset("synthetic", ntrain=100, nbase=500, nquery=10,
                       d=16)
     assert ds.Xb.shape == (500, 16)
+
+
+def test_synthetic_corr_is_correlated_and_opq_friendly():
+    """`synthetic-corr`: anisotropic latent spectrum + random rotation.
+    The output covariance must have strongly decaying eigenvalues but
+    NOT be axis-aligned (dims correlated), and OPQ's learned rotation
+    must beat plain PQ on it — the regime where the LSQ++ paper's
+    method ordering holds (isotropic `synthetic` is rotation-invariant
+    so OPQ could only tie PQ there)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rayuela_tpu.models.opq import train_opq
+    from rayuela_tpu.models.pq import train_pq
+
+    ds = read_dataset("synthetic-corr-small", nquery=50, ncenters=8)
+    assert ds.Xt.shape[1] == 32 and ds.gt.max() < ds.Xb.shape[0]
+    cov = np.cov(ds.Xt.T)
+    ev = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert ev[0] / ev[-1] > 30          # anisotropic spectrum
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() > 0.1 * np.diag(cov).max()  # correlated
+
+    X = jnp.asarray(ds.Xt)
+    _, _, pq_err = train_pq(jax.random.PRNGKey(0), X, m=4, h=16,
+                            iters=15)
+    _, _, obj = train_opq(jax.random.PRNGKey(0), X, m=4, h=16,
+                          niter=15, init="random")
+    assert float(obj[-1]) < 0.97 * float(np.ravel(pq_err)[-1])
