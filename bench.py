@@ -84,7 +84,12 @@ def bench_scan(jax, jnp, rng, C, B, Q):
     index = build_index(C, B, pq=True, d=D)
     jax.block_until_ready(index.Xd)
 
-    do_search = search
+    # search() hard-syncs internally (the exactness-certificate flags
+    # are pulled to host to decide the rescan), so its wall time IS
+    # the end-to-end latency. An extra block_until_ready + scalar
+    # fetch after it adds two more axon-tunnel RPCs (~100 ms/call,
+    # 2026-08-18 profile) and under-reports qps 30-50%.
+    do_search, needs_sync = search, False
     try:
         out = do_search(index, Q[:QCHUNK], KNN)
         _ = np.asarray(out[0][0, :1])
@@ -95,6 +100,7 @@ def bench_scan(jax, jnp, rng, C, B, Q):
 
         def do_search(idx, q, k):
             return exact_rescan(q, idx.Xd, idx.x2, k)
+        needs_sync = True
         out = do_search(index, Q[:QCHUNK], KNN)
         _ = np.asarray(out[0][0, :1])
 
@@ -108,8 +114,9 @@ def bench_scan(jax, jnp, rng, C, B, Q):
 
         def call(knn=knn):
             out = do_search(index, Q, knn)
-            jax.block_until_ready(out)
-            _ = np.asarray(out[0][0, 0])
+            if needs_sync:
+                jax.block_until_ready(out)
+                _ = np.asarray(out[0][0, 0])
         qps = NQ / _best_of(call)
         emit(name, qps, "queries/s", qps / SCAN_BASELINE_QPS)
     del index
@@ -136,10 +143,10 @@ def bench_scan_codes(jax, jnp, rng, C, B, Q):
             out = search_codes(idx, Q, knn)               # compile/warm
             _ = np.asarray(out[0][0, :1])
 
+            # search_codes hard-syncs internally (flags pull) — see
+            # bench_scan
             def call(idx=idx, knn=knn):
-                out = search_codes(idx, Q, knn)
-                jax.block_until_ready(out)
-                _ = np.asarray(out[0][0, 0])
+                search_codes(idx, Q, knn)
             qps = NQ / _best_of(call)
             emit(f"codes_scan_qps_sift1m_m{m}_knn{knn}", qps,
                  "queries/s", qps / SCAN_BASELINE_QPS)
@@ -209,9 +216,13 @@ def bench_scan_100m(jax, jnp, rng, C, Q):
     n_big, nq_big = 100_000_000, 1_000
     try:
         # uint8 (n, m) little-endian IS the packed int32 (n, m/4)
-        # array; rng.bytes is ~20x faster than rng.integers here
-        B8 = np.frombuffer(rng.bytes(n_big * M),
-                           dtype=np.uint8).reshape(n_big, M)
+        # array; rng.bytes is ~20x faster than rng.integers, but ONE
+        # big call degrades to ~10 MB/s — chunk it (see NEXT.md)
+        B8 = np.empty((n_big, M), np.uint8)
+        flat, step = B8.reshape(-1), 1 << 28
+        for st in range(0, n_big * M, step):
+            sz = min(step, n_big * M - st)
+            flat[st:st + sz] = np.frombuffer(rng.bytes(sz), np.uint8)
         packed = jax.device_put(
             jnp.asarray(B8.view(np.uint32).view(np.int32)))
         jax.block_until_ready(packed)
@@ -223,10 +234,8 @@ def bench_scan_100m(jax, jnp, rng, C, Q):
         _ = np.asarray(out[0][0, :1])
 
         def call():
-            out = search_codes(idx, Qb, KNN)
-            jax.block_until_ready(out)
-            _ = np.asarray(out[0][0, 0])
-        qps = nq_big / _best_of(call, reps=2)
+            search_codes(idx, Qb, KNN)   # internal flags-pull sync
+        qps = nq_big / _best_of(call, reps=3)
         base = SCAN_BASELINE_QPS * N / n_big
         emit("codes_scan_qps_100m_m8_knn1000", qps, "queries/s",
              qps / base)
