@@ -118,3 +118,45 @@ def test_synthetic_corr_is_correlated_and_opq_friendly():
     _, _, obj = train_opq(jax.random.PRNGKey(0), X, m=4, h=16,
                           niter=15, init="random")
     assert float(obj[-1]) < 0.97 * float(np.ravel(pq_err)[-1])
+
+
+def test_exact_ground_truth_matches_f64_brute_force():
+    """Two-pass device GT (f32 candidates + f64 refine) == pure f64
+    host argmin, including near-duplicate base rows that stress f32
+    resolution."""
+    from rayuela_tpu.experiments.datasets import exact_ground_truth
+
+    rng = np.random.default_rng(3)
+    n, d, nq = 5000, 24, 300
+    Xb = rng.standard_normal((n, d)).astype(np.float32)
+    # near-duplicates of some rows at ~f32-resolution separation
+    Xb[1000:1200] = Xb[:200] + 1e-6
+    Xq = np.concatenate([
+        rng.standard_normal((nq - 100, d)).astype(np.float32),
+        Xb[:100] + 1e-3 * rng.standard_normal((100, d)).astype(
+            np.float32)])
+    gt = exact_ground_truth(Xq, Xb, ncand=8)
+    b = Xb.astype(np.float64)
+    ref = np.array([np.argmin(((b - q) ** 2).sum(1))
+                    for q in Xq.astype(np.float64)])
+    same = gt == ref
+    if not same.all():
+        # ties at f64: accept any id with identical f64 distance
+        for i in np.nonzero(~same)[0]:
+            q = Xq[i].astype(np.float64)
+            d_gt = ((b[gt[i]] - q) ** 2).sum()
+            d_ref = ((b[ref[i]] - q) ** 2).sum()
+            assert d_gt == d_ref, (i, d_gt, d_ref)
+
+
+def test_synthetic_cache_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("RAYUELA_SYNTH_CACHE", str(tmp_path))
+    a = read_dataset("synthetic", ntrain=50, nbase=400, nquery=8, d=8)
+    assert len(list(tmp_path.iterdir())) == 1
+    b = read_dataset("synthetic", ntrain=50, nbase=400, nquery=8, d=8)
+    np.testing.assert_array_equal(a.Xb, b.Xb)
+    np.testing.assert_array_equal(a.gt, b.gt)
+    c = read_dataset("synthetic", ntrain=50, nbase=400, nquery=8, d=8,
+                     seed=1)
+    assert len(list(tmp_path.iterdir())) == 2
+    assert not np.array_equal(a.Xb, c.Xb)
