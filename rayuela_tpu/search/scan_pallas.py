@@ -1107,12 +1107,18 @@ def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False):
         else:
             r, bq, keep, stage = 56, 128, 8, 0
     else:
-        tile = 4096
+        # tile=8192 re-swept 2026-08-18 (/tmp/sweep_dec{,2,3}.py): with
+        # the staged merge its certificate flags dropped to single
+        # digits on both uniform and clustered data (they dominated
+        # pre-stage), and it wins both k classes: k=1000 73.6k qps vs
+        # 62.8k at tile=4096, k=100 101.0k vs 98.1k (clustered run).
+        tile = 8192
         if k <= 512:
             r, bq, keep, stage = 16, 256, 2, 8
         elif k <= 32 * LANES:
             r, bq, keep, stage = 32, 256, 4, 8
         else:
+            tile = 4096            # big-k branch unswept at 8192
             r, bq, keep, stage = 56, 128, 8, 0
     # don't pad tiny query batches up to a huge block
     bqnq = max(128, 1 << (nq - 1).bit_length())
