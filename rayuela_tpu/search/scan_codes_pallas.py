@@ -787,8 +787,11 @@ def _codes_auto_config(k: int, nq: int, pack: bool, mode: str,
                                          if small
                                          else (12, 512, 2048, 4, 2))
         else:
-            r, bq, tile, keep = 28, 256, 4096, 4
-            qsuper = 8 if small else 4
+            # tile=8192 wins only the m8-class k>512 config (+9%
+            # in-run, /tmp/sweep_codes_tile.py); m16-class and the
+            # k<=512 classes measured best at their original tiles
+            r, bq, keep = 28, 256, 4
+            tile, qsuper = (8192, 8) if small else (4096, 4)
         stage = 0
         bqnq = max(128, 1 << (nq - 1).bit_length())
         while qsuper > 1 and bq * qsuper > bqnq:
