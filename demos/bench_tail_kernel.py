@@ -36,7 +36,7 @@ def main():
     log(f"index ready dtype={index.Xd.dtype}")
 
     for k in (1000, 100):
-        r, bq, tile, keep, stage = sp._auto_config(
+        r, bq, tile, keep, stage, premin = sp._auto_config(
             k, NQ, True, f32_index=index.Xd.dtype == jnp.float32)
         log(f"k={k}: r={r} bq={bq} tile={tile} keep={keep}")
         for tailmode in (True, False):

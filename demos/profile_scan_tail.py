@@ -54,7 +54,7 @@ def main():
     log(f"index built dtype={index.Xd.dtype}")
 
     for k in (1000, 100):
-        r, bq, tile, keep, stage = sp._auto_config(
+        r, bq, tile, keep, stage, premin = sp._auto_config(
             k, NQ, True, f32_index=index.Xd.dtype == jnp.float32)
         log(f"k={k}: config r={r} bq={bq} tile={tile} keep={keep}")
 

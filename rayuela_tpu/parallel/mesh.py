@@ -189,7 +189,7 @@ def sharded_search(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
     klocal = min(k, shard_n)
     if pack is None:
         pack = not interpret
-    ar, abq, atile, akeep, astage = _auto_config(
+    ar, abq, atile, akeep, astage, _apremin = _auto_config(
         klocal, Q.shape[0], pack, f32_index=Xd.dtype == jnp.float32)
     stage = astage
     if r is not None or tile is not None:

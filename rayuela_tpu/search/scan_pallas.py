@@ -226,6 +226,32 @@ def _prered_topk(kv: Array, keep: int) -> tuple[Array, Array | None]:
     return kv, disc_min
 
 
+def _premin(kv: Array, premin: int) -> tuple[Array, Array | None]:
+    """``premin`` pairwise-min halving stages on packed keys
+    (s, LANES, bq) → (s >> premin, LANES, bq), plus the MIN over every
+    discarded key (None when premin == 0).
+
+    With pack32 keys a pairwise min is ONE vector op (the key carries
+    its own row id — no payload swap), so this pre-filter costs ~1.5
+    ops per input element vs ~10 for the cheapest bitonic stage chain,
+    at the price of being LOSSY: a true top-k element is dropped iff a
+    smaller element lands in its ``2^premin``-row window (same lane,
+    same tile). Expected losses/query ≈ (2^premin − 1)·k²/(2n) —
+    ~1.5% at k=100, n=1e6, premin=2 — and every loss is caught by the
+    discard-min certificate, so flagged queries re-run exactly; the
+    combined result stays exact. Only sane for k ≪ √n; `_auto_config`
+    enables it for the small-k class only."""
+    disc = None
+    for _ in range(premin):
+        s = kv.shape[0]
+        v4 = kv.reshape(s // 2, 2, *kv.shape[1:])
+        a, b = v4[:, 0], v4[:, 1]
+        kv = jnp.minimum(a, b)
+        dm = jnp.min(jnp.maximum(a, b), axis=0)
+        disc = dm if disc is None else jnp.minimum(disc, dm)
+    return kv, disc
+
+
 def _sortable_key(s: Array) -> Array:
     """f32 → int32 whose SIGNED order equals the float order: flip the
     lower 31 bits of negatives (positives are their own key). Signed,
@@ -263,7 +289,8 @@ def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int) -> Array:
 
 def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
                           *, rows: int, r: int, ntiles: int, bq: int,
-                          idbits: int, keep: int = 0, qstart=None):
+                          idbits: int, keep: int = 0, qstart=None,
+                          premin: int = 0):
     """pack32 selection tail: bitonic-sort the tile rows' packed keys
     descending, merge into the per-lane running top-R key buffer, DMA
     it to HBM on the last tile.
@@ -296,6 +323,10 @@ def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
                             jnp.int32)
 
     kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits)
+    if premin:
+        kv, pm_min = _premin(kv, premin)
+        dminp[:] = jnp.minimum(dminp[:], pm_min[None])
+        rows = rows >> premin
     if keep and keep < rows:
         kv, disc_min = _prered_topk(kv, keep)
         if disc_min is not None:
@@ -326,7 +357,8 @@ def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
 def _select_insert_packed_staged(s: Array, t, bufp, stagep, dminp, sem,
                                  outp_ref, *, rows: int, r: int,
                                  ntiles: int, bq: int, idbits: int,
-                                 keep: int, stage: int):
+                                 keep: int, stage: int,
+                                 premin: int = 0):
     """Staged variant of `_select_insert_packed`: each tile still
     pre-reduces EXACTLY to its per-lane top-``keep`` (so the flag rate
     is unchanged), but the reduced keys go to a staging buffer and the
@@ -349,6 +381,10 @@ def _select_insert_packed_staged(s: Array, t, bufp, stagep, dminp, sem,
         stagep[:] = jnp.full(stagep.shape, imax, jnp.int32)
 
     kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits)
+    if premin:
+        kv, pm_min = _premin(kv, premin)
+        dminp[:] = jnp.minimum(dminp[:], pm_min[None])
+        rows = rows >> premin
     kv, disc_min = _prered_topk(kv, keep)
     if disc_min is not None:
         dminp[:] = jnp.minimum(dminp[:], disc_min[None])
@@ -441,26 +477,27 @@ def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
 
 def _scan_kernel_packed(qt_ref, x_ref, x2_ref, outp_ref, bufp, dminp,
                         sem, *, rows: int, r: int, ntiles: int,
-                        bq: int, idbits: int, keep: int = 0):
+                        bq: int, idbits: int, keep: int = 0,
+                        premin: int = 0):
     """pack32 variant: one int32 (value|rowid) key per element."""
     t = pl.program_id(1)
     s = _distance_block(qt_ref, x_ref, x2_ref)
     _select_insert_packed(s, t, bufp, dminp, sem, outp_ref, rows=rows,
                           r=r, ntiles=ntiles, bq=bq, idbits=idbits,
-                          keep=keep)
+                          keep=keep, premin=premin)
 
 
 def _scan_kernel_packed_staged(qt_ref, x_ref, x2_ref, outp_ref, bufp,
                                stagep, dminp, sem, *, rows: int, r: int,
                                ntiles: int, bq: int, idbits: int,
-                               keep: int, stage: int):
+                               keep: int, stage: int, premin: int = 0):
     """pack32 + staged buffer merge (see `_select_insert_packed_staged`)."""
     t = pl.program_id(1)
     s = _distance_block(qt_ref, x_ref, x2_ref)
     _select_insert_packed_staged(s, t, bufp, stagep, dminp, sem,
                                  outp_ref, rows=rows, r=r,
                                  ntiles=ntiles, bq=bq, idbits=idbits,
-                                 keep=keep, stage=stage)
+                                 keep=keep, stage=stage, premin=premin)
 
 
 def _count_below(s: Array, t, tau_ref, *, rows: int, bq: int,
@@ -851,14 +888,15 @@ def candidate_ids(outi: Array, nq: int, r: int) -> Array:
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
                               "interpret", "pack", "keep", "tail",
-                              "vmem_mb", "stage"))
+                              "vmem_mb", "stage", "premin"))
 def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
                      r: int = 48, bq: int = 128, tile: int = 2048,
                      verify: bool = True, interpret: bool = False,
                      pack: bool = False, keep: int = 0,
                      tail: bool | None = None,
                      vmem_mb: int | None = None,
-                     stage: int = 0) -> tuple[Array, Array, Array]:
+                     stage: int = 0,
+                     premin: int = 0) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k ADC scan over a decoded base.
 
     Args:
@@ -891,6 +929,15 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         ``stage`` tiles (staging the per-tile pre-reduced keys in
         between) instead of every tile; requires ``r + keep*stage`` a
         power of two. Identical results and flag rate, less VPU work.
+      premin: pack32-only LOSSY pre-filter — ``premin`` pairwise-min
+        halving stages on the packed keys before the top-``keep``
+        reduction (`_premin`: one vector op per pair, the cheapest
+        possible selection work). A top-k element is dropped iff a
+        smaller element shares its ``2^premin``-row window (expected
+        ~(2^premin−1)·k²/2n of the time per query); every drop is
+        caught by the discard-min certificate and the query re-runs
+        exactly, so the combined result is exact — this trades a small
+        flag rate for ~2x less selection arithmetic at small k.
 
     Returns ``(dists (nq, k), ids (nq, k), flagged (nq,) bool)``.
     Flagged queries must be re-run via the exact XLA path (done by
@@ -903,26 +950,34 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
     rows = tile // LANES
     if rows & (rows - 1):
         raise ValueError(f"tile/128={rows} must be a power of two")
+    if premin:
+        if not pack:
+            raise ValueError("premin pre-filter requires pack=True")
+        if premin < 0 or (rows >> premin) < max(1, keep):
+            raise ValueError(f"premin={premin} must leave tile/128 >> "
+                             f"premin >= max(1, keep={keep})")
+    rows_eff = rows >> premin
     if keep:
         if not pack:
             raise ValueError("keep pre-reduction requires pack=True")
-        if keep & (keep - 1) or keep > rows:
+        if keep & (keep - 1) or keep > rows_eff:
             raise ValueError(f"keep={keep} must be a power of two "
-                             f"<= tile/128={rows}")
+                             f"<= (tile/128)>>premin={rows_eff}")
         w = r + keep * max(1, stage)
         if w & (w - 1):
             raise ValueError(f"r+keep*stage={w} must be a power of "
                              "two (bitonic merge width)")
-        if stage and keep >= rows:
-            raise ValueError("staged merge requires keep < tile/128")
+        if stage and keep >= rows_eff:
+            raise ValueError("staged merge requires keep < "
+                             "(tile/128)>>premin")
         if stage and (keep * stage) & (keep * stage - 1):
             raise ValueError(f"keep*stage={keep * stage} must be a "
                              "power of two (staging-sort width)")
     elif stage:
         raise ValueError("stage requires keep pre-reduction")
-    elif (r + rows) & (r + rows - 1):
-        raise ValueError(f"r+tile/128={r + rows} must be a power of two "
-                         "(bitonic merge width)")
+    elif (r + rows_eff) & (r + rows_eff - 1):
+        raise ValueError(f"r+(tile/128)>>premin={r + rows_eff} must be "
+                         "a power of two (bitonic merge width)")
     dp = cdiv(d, LANES) * LANES
     npad = cdiv(n, tile) * tile
     nqp = cdiv(nq, bq) * bq
@@ -956,7 +1011,7 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
             kern = functools.partial(
                 _scan_kernel_packed_staged, rows=rows, r=r,
                 ntiles=ntiles, bq=bq, idbits=idbits, keep=keep,
-                stage=stage)
+                stage=stage, premin=premin)
             scratch = [
                 pltpu.VMEM((r, LANES, bq), jnp.int32),
                 pltpu.VMEM((keep * stage, LANES, bq), jnp.int32),
@@ -966,7 +1021,8 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         else:
             kern = functools.partial(_scan_kernel_packed, rows=rows,
                                      r=r, ntiles=ntiles, bq=bq,
-                                     idbits=idbits, keep=keep)
+                                     idbits=idbits, keep=keep,
+                                     premin=premin)
             scratch = [
                 pltpu.VMEM((r, LANES, bq), jnp.int32),
                 pltpu.VMEM((1, LANES, bq), jnp.int32),
@@ -1085,7 +1141,7 @@ def build_index(C: Array, B: Array, *, pq: bool = False,
 
 
 def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False):
-    """Measured-best (r, bq, tile, keep, stage) per k class (1x v5e
+    """Measured-best (r, bq, tile, keep, stage, premin) per k class (1x v5e
     sweeps: demos/bench_prered.py, /tmp/cert2, /tmp/bench_staged.py,
     2026-08-17). With keep pre-reduction + the in-scan certificate +
     the staged buffer merge: k=100 77.5k qps kernel-level at
@@ -1096,8 +1152,9 @@ def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False):
     index (the compiler crashes), so f32 falls back to the measured
     tile=2048 per-tile-merge equivalents. f32+i32 selection mode keeps
     the round-1 configs (its buffers are 2x)."""
+    premin = 0
     if not pack:
-        return (16 if k <= 512 else 48), 128, 2048, 0, 0
+        return (16 if k <= 512 else 48), 128, 2048, 0, 0, 0
     if f32_index:
         tile = 2048
         if k <= 512:
@@ -1122,14 +1179,15 @@ def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False):
             r, bq, keep, stage = 56, 128, 8, 0
     # don't pad tiny query batches up to a huge block
     bqnq = max(128, 1 << (nq - 1).bit_length())
-    return r, min(bq, bqnq), tile, keep, stage
+    return r, min(bq, bqnq), tile, keep, stage, premin
 
 
 def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
            bq: int | None = None, tile: int | None = None,
            interpret: bool = False, pack: bool | None = None,
            keep: int | None = None,
-           vmem_mb: int | None = None) -> tuple[Array, Array]:
+           vmem_mb: int | None = None,
+           premin: int | None = None) -> tuple[Array, Array]:
     """Exact top-k search: Pallas fast path + XLA re-run for any query
     the verification kernel flags (host-side check, so shapes stay
     static under jit).
@@ -1145,22 +1203,42 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     (see `pallas_scan_topk`)."""
     if pack is None:
         pack = not interpret
-    ar, abq, atile, akeep, astage = _auto_config(
+    ar, abq, atile, akeep, astage, apremin = _auto_config(
         k, Q.shape[0], pack, f32_index=index.Xd.dtype == jnp.float32)
     stage = astage
     if r is not None or keep is not None or tile is not None:
         stage = 0             # explicit config: per-tile merge semantics
+        apremin = 0
     r = ar if r is None else r
     bq = abq if bq is None else bq
     tile = atile if tile is None else tile
     keep = akeep if keep is None else keep
+    premin = apremin if premin is None else premin
     if vmem_mb is None and (tile > 4096 or stage):
         vmem_mb = 64          # beyond the 16 MB scoped-VMEM default
     dists, ids, flagged = pallas_scan_topk(
         Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
         verify=True, interpret=interpret, pack=pack, keep=keep,
-        vmem_mb=vmem_mb, stage=stage)
+        vmem_mb=vmem_mb, stage=stage, premin=premin)
     flagged = np.asarray(flagged)
+    if flagged.any() and premin:
+        # lossy pre-filter flags ~1-2% of queries by design; route them
+        # through the EXACT kernel (premin=0) first — one small Pallas
+        # call instead of the ~100x-slower XLA rescan — and let only
+        # its own (rare) flags fall through to XLA below. Pad the
+        # ragged flagged batch to a power of two to bound recompiles.
+        qidx = np.nonzero(flagged)[0]
+        nf = 1 << max(0, int(len(qidx) - 1).bit_length())
+        qpad = np.pad(qidx, (0, nf - len(qidx)), mode="edge")
+        d2, i2, f2 = pallas_scan_topk(
+            Q[qpad], index.Xd, index.x2, k=k, r=r, bq=min(bq, nf),
+            tile=tile, verify=True, interpret=interpret, pack=pack,
+            keep=keep, vmem_mb=vmem_mb, stage=stage, premin=0)
+        sel = np.arange(len(qidx))
+        dists = dists.at[qidx].set(d2[sel])
+        ids = ids.at[qidx].set(i2[sel])
+        flagged = np.zeros_like(flagged)
+        flagged[qidx[np.asarray(f2)[sel]]] = True
     if flagged.any():
         from rayuela_tpu.search.linscan import exact_rescan
         qidx = np.nonzero(flagged)[0]

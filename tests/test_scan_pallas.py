@@ -224,6 +224,97 @@ def test_prered_per_tile_overflow_is_flagged(rng):
                 picked[0], np.sort(D[q])[:8], rtol=3e-3, atol=3e-3)
 
 
+def test_premin_unit_reduction(rng):
+    """`_premin` keeps the min of each 2^premin-row window and its
+    discard-min is the min over everything else."""
+    from rayuela_tpu.search.scan_pallas import _premin
+    for rows, p in [(8, 1), (16, 2), (32, 3)]:
+        kv = rng.integers(-2**31, 2**31 - 1, (rows, 16, 8),
+                          dtype=np.int32)
+        out, disc = jax.jit(
+            lambda v, p=p: _premin(v, p))(jnp.asarray(kv))
+        w = 1 << p
+        blocks = kv.reshape(rows // w, w, 16, 8)
+        ref = blocks.min(axis=1)
+        np.testing.assert_array_equal(np.asarray(out), ref)
+        # discard-min = global min over non-survivors = 2nd-smallest of
+        # the block that holds the global min, min'd across blocks with
+        # every other block's full sorted tail... simplest oracle: min
+        # over all elements that are NOT their block's min
+        srt = np.sort(blocks, axis=1)
+        ref_disc = srt[:, 1:].min(axis=(0, 1))
+        np.testing.assert_array_equal(np.asarray(disc), ref_disc)
+
+
+def test_premin_matches_brute_force_or_flags(rng):
+    """End-to-end with the lossy pre-filter: every query is either
+    bit-correct vs brute force or flagged by the certificate."""
+    nq, n, d, k = 16, 60_000, 64, 20
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    for kw in (dict(r=14, keep=2, stage=0),
+               dict(r=16, keep=2, stage=8)):
+        dists, ids, flagged = run(Q, Xd, k=k, bq=8, tile=2048,
+                                  pack=True, premin=2, **kw)
+        flagged = np.asarray(flagged)
+        assert not flagged.all()            # losses must be rare
+        D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+        picked = np.take_along_axis(D, np.asarray(ids), axis=1)
+        ref_d = np.sort(D, 1)[:, :k]
+        for q in range(nq):
+            if not flagged[q]:
+                np.testing.assert_allclose(picked[q], ref_d[q],
+                                           rtol=3e-3, atol=3e-3)
+                assert len(set(np.asarray(ids)[q])) == k
+
+
+def test_premin_loss_is_flagged(rng):
+    """Plant two near-ties in one premin window (same lane, adjacent
+    rows): the pairwise min drops one of them, and the certificate
+    must flag the query."""
+    nq, n, d = 2, 4096, 16
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32) + 50.0
+    # rows 0 and 1 of lane 5, tile 0: ids 5 and 133 — one premin=1
+    # window; both are top-2 for query 0
+    Xd[5] = Q[0] + 1e-3
+    Xd[133] = Q[0] - 1e-3
+    dists, ids, flagged = run(Q, Xd, k=8, r=14, bq=2, tile=1024,
+                              pack=True, keep=2, premin=1)
+    assert np.asarray(flagged)[0]
+
+
+def test_search_premin_ladder_is_exact(rng):
+    """`search` with a lossy premin config: flagged queries re-run
+    through the exact kernel (then XLA), so the final result matches
+    the premin=0 search exactly — even with planted same-window
+    collisions that force premin losses."""
+    from rayuela_tpu.search.scan_pallas import LinscanIndex, search
+    nq, n, d, k = 8, 20_000, 32, 10
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32) + 30.0
+    for q in range(4):                  # half the queries lose a hit
+        Xd[q * 512 + 7] = Q[q] + 1e-3
+        Xd[q * 512 + 135] = Q[q] - 1e-3
+    Xj, x2 = jnp.asarray(Xd), jnp.sum(jnp.asarray(Xd) ** 2, -1)
+    idx = LinscanIndex(Xj, x2)
+    kw = dict(r=14, bq=8, tile=1024, pack=True, keep=2)
+    d0, i0 = search(idx, Q, k, interpret=True, premin=0, **kw)
+    d1, i1 = search(idx, Q, k, interpret=True, premin=1, **kw)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+
+
+def test_premin_validation(rng):
+    Q = rng.standard_normal((4, 32)).astype(np.float32)
+    Xd = rng.standard_normal((9000, 32)).astype(np.float32)
+    with pytest.raises(ValueError):        # premin needs pack
+        run(Q, Xd, k=8, r=16, bq=4, tile=1024, premin=1)
+    with pytest.raises(ValueError):        # rows>>premin < keep
+        run(Q, Xd, k=8, r=14, bq=4, tile=1024, pack=True, keep=2,
+            premin=3)
+
+
 def test_staged_merge_matches_per_tile_merge(rng):
     """stage>0 merges the running buffer every `stage` tiles instead of
     every tile — the candidate set it keeps is mathematically the same
@@ -452,20 +543,22 @@ def test_auto_config_valid_across_k_classes():
         for nq in (1, 7, 128, 2000, 10_000):
             for pack in (False, True):
                 for f32 in (False, True):
-                    r, bq, tile, keep, stage = _auto_config(
+                    r, bq, tile, keep, stage, premin = _auto_config(
                         k, nq, pack, f32)
                     rows = tile // LANES
                     assert rows & (rows - 1) == 0
                     assert bq >= 1
                     kmax = (56 if pack else 48) * LANES
                     assert k <= r * LANES or k > kmax
+                    reff = rows >> premin
+                    assert premin == 0 or pack
                     if pack and keep:
-                        assert keep & (keep - 1) == 0 and keep <= rows
+                        assert keep & (keep - 1) == 0 and keep <= reff
                         w = r + keep * max(1, stage)
                         assert w & (w - 1) == 0
                         if stage:
                             ks = keep * stage
-                            assert ks & (ks - 1) == 0 and keep < rows
+                            assert ks & (ks - 1) == 0 and keep < reff
                     else:
-                        assert stage == 0
+                        assert stage == 0 and premin == 0
                         assert (r + rows) & (r + rows - 1) == 0
