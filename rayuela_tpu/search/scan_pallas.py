@@ -1230,8 +1230,11 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
         qidx = np.nonzero(flagged)[0]
         nf = 1 << max(0, int(len(qidx) - 1).bit_length())
         qpad = np.pad(qidx, (0, nf - len(qidx)), mode="edge")
+        # compiled query blocks are lane-aligned: bq must stay >= 128
+        # (the scan's output DMA slices the minor axis at bq stride)
+        bq2 = min(bq, max(nf, 1 if interpret else LANES))
         d2, i2, f2 = pallas_scan_topk(
-            Q[qpad], index.Xd, index.x2, k=k, r=r, bq=min(bq, nf),
+            Q[qpad], index.Xd, index.x2, k=k, r=r, bq=bq2,
             tile=tile, verify=True, interpret=interpret, pack=pack,
             keep=keep, vmem_mb=vmem_mb, stage=stage, premin=0)
         sel = np.arange(len(qidx))
