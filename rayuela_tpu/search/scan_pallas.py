@@ -153,6 +153,41 @@ def _apply_network1(v: Array, stages, descending: bool = False) -> Array:
     return v
 
 
+def _top2_tournament(kv: Array) -> tuple[Array, Array]:
+    """Exact per-lane top-2 (smallest) of ``kv`` (s, LANES, bq),
+    s >= 4, sorted DESCENDING, plus the min over all discarded keys
+    (= the 3rd smallest) — the ``keep=2`` fast path of `_prered_topk`.
+
+    A tournament over SORTED PAIRS: merging pairs (a1<=a2), (b1<=b2)
+    gives m1 = min(a1,b1) and — the identity that makes this cheap —
+    m2 = min(max(a1,b1), min(a2,b2)), with the two discards
+    max(a2,b2) and max(max(a1,b1), min(a2,b2)). That is 7 vector
+    min/max per FOUR elements per level (~4x fewer ops than the
+    general discard-half bitonic stages, which pay direction masks and
+    paired stack/reshape selects), all on the leading axis."""
+    s = kv.shape[0]
+    rest = kv.shape[1:]
+    v4 = kv.reshape(s // 2, 2, *rest)
+    a1 = jnp.minimum(v4[:, 0], v4[:, 1])
+    a2 = jnp.maximum(v4[:, 0], v4[:, 1])
+    disc = None
+    while a1.shape[0] > 1:
+        p = a1.shape[0] // 2
+        A = a1.reshape(p, 2, *rest)
+        B = a2.reshape(p, 2, *rest)
+        x1, y1 = A[:, 0], A[:, 1]
+        x2, y2 = B[:, 0], B[:, 1]
+        t = jnp.maximum(x1, y1)
+        u = jnp.minimum(x2, y2)
+        dl = jnp.minimum(jnp.maximum(x2, y2), jnp.maximum(t, u))
+        dm = jnp.min(dl, axis=0)
+        disc = dm if disc is None else jnp.minimum(disc, dm)
+        a1 = jnp.minimum(x1, y1)
+        a2 = jnp.minimum(t, u)
+    out = jnp.concatenate([a2, a1], axis=0)          # (2, ...) desc
+    return out, disc
+
+
 def _prered_topk(kv: Array, keep: int) -> tuple[Array, Array | None]:
     """Per-lane top-``keep`` (smallest) keys of ``kv`` (s, LANES, bq),
     sorted DESCENDING, plus the MIN over all discarded keys (None if
@@ -176,6 +211,8 @@ def _prered_topk(kv: Array, keep: int) -> tuple[Array, Array | None]:
     if s == keep:
         return (_apply_network1(kv, _sort_stages(s), descending=True),
                 None)
+    if keep == 2:
+        return _top2_tournament(kv)
 
     def stage(v, j, up_fn):
         nb = v.shape[0] // (2 * j)
