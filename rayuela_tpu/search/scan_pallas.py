@@ -48,6 +48,11 @@ Array = jax.Array
 
 LANES = 128
 
+# keep∈{2,4} pre-reduction uses the cheaper tournament forms; module
+# flag (not an API) so A/B sweeps can force the general bitonic path
+# (toggle + jax.clear_caches() to retrace)
+_TOURNAMENT = True
+
 
 # ---------------------------------------------------------------------------
 # Static bitonic networks (precomputed permutations + min-masks)
@@ -188,6 +193,54 @@ def _top2_tournament(kv: Array) -> tuple[Array, Array]:
     return out, disc
 
 
+def _top4_tournament(kv: Array) -> tuple[Array, Array]:
+    """Exact per-lane top-4 of ``kv`` (s, LANES, bq), s >= 8, sorted
+    DESCENDING, plus the min over all discarded keys (= the 5th
+    smallest) — the ``keep=4`` fast path of `_prered_topk`.
+
+    A tournament over SORTED QUADS. Merging ascending quads A, B uses
+    the bitonic half-clean property: comparing ``a_i`` with
+    ``b_{5-i}`` (A ++ reverse(B) is bitonic, so one stride-4 exchange
+    splits lowest-4 from highest-4, both halves bitonic); the lower
+    half then sorts with one stride-2 + one stride-1 stage, and the
+    upper half's min (3 mins — it is bitonic, not sorted) feeds the
+    discard accumulator. ~19 min/max per EIGHT elements per level,
+    vs 3 masked bitonic stages in the general discard-half path. The
+    quads live as four separate (blocks, ...) arrays so every op is
+    plain elementwise min/max — no direction masks, no stack/reshape
+    interleaves except the block pairing."""
+    s = kv.shape[0]
+    rest = kv.shape[1:]
+    Q4 = kv.reshape(s // 4, 4, *rest)
+    q0, q1, q2, q3 = Q4[:, 0], Q4[:, 1], Q4[:, 2], Q4[:, 3]
+    p1, P1 = jnp.minimum(q0, q1), jnp.maximum(q0, q1)
+    p2, P2 = jnp.minimum(q2, q3), jnp.maximum(q2, q3)
+    t, u = jnp.maximum(p1, p2), jnp.minimum(P1, P2)
+    s1 = jnp.minimum(p1, p2)
+    s2 = jnp.minimum(t, u)
+    s3 = jnp.maximum(t, u)
+    s4 = jnp.maximum(P1, P2)
+    disc = None
+    while s1.shape[0] > 1:
+        p = s1.shape[0] // 2
+        pair = [x.reshape(p, 2, *rest) for x in (s1, s2, s3, s4)]
+        A = [x[:, 0] for x in pair]
+        B = [x[:, 1] for x in pair]
+        l1, u1 = jnp.minimum(A[0], B[3]), jnp.maximum(A[0], B[3])
+        l2, u2 = jnp.minimum(A[1], B[2]), jnp.maximum(A[1], B[2])
+        l3, u3 = jnp.minimum(A[2], B[1]), jnp.maximum(A[2], B[1])
+        l4, u4 = jnp.minimum(A[3], B[0]), jnp.maximum(A[3], B[0])
+        dl = jnp.minimum(jnp.minimum(u1, u2), jnp.minimum(u3, u4))
+        dm = jnp.min(dl, axis=0)
+        disc = dm if disc is None else jnp.minimum(disc, dm)
+        e1, e3 = jnp.minimum(l1, l3), jnp.maximum(l1, l3)
+        e2, e4 = jnp.minimum(l2, l4), jnp.maximum(l2, l4)
+        s1, s2 = jnp.minimum(e1, e2), jnp.maximum(e1, e2)
+        s3, s4 = jnp.minimum(e3, e4), jnp.maximum(e3, e4)
+    out = jnp.concatenate([s4, s3, s2, s1], axis=0)  # (4, ...) desc
+    return out, disc
+
+
 def _prered_topk(kv: Array, keep: int) -> tuple[Array, Array | None]:
     """Per-lane top-``keep`` (smallest) keys of ``kv`` (s, LANES, bq),
     sorted DESCENDING, plus the MIN over all discarded keys (None if
@@ -211,8 +264,10 @@ def _prered_topk(kv: Array, keep: int) -> tuple[Array, Array | None]:
     if s == keep:
         return (_apply_network1(kv, _sort_stages(s), descending=True),
                 None)
-    if keep == 2:
+    if keep == 2 and _TOURNAMENT:
         return _top2_tournament(kv)
+    if keep == 4 and _TOURNAMENT:
+        return _top4_tournament(kv)
 
     def stage(v, j, up_fn):
         nb = v.shape[0] // (2 * j)
