@@ -208,8 +208,31 @@ def experiment_sr(key, ds: Dataset, m: int = 7, h: int = 256,
                        ilsiter, icmiter, npert, randord, chunk)
 
 
+def experiment_compq(key, ds: Dataset, m: int = 7, h: int = 256,
+                     niter: int = 25, knn: int = 1000,
+                     verbose: bool = True, store: str | None = None,
+                     trial: int = 0, H: int = 16, lr_total: float = 0.01,
+                     update: str = "sgd"):
+    """CompQ end-to-end: RVQ init → competitive training → beam base
+    encode → norms-byte scan. Reference `demos/demo_compq.jl` +
+    `src/CompetitiveQ.jl:138-221` (which is bit-rotted there; this one
+    runs and produces a recall row like every other method)."""
+    from rayuela_tpu.models.compq import quantize_compq, train_compq
+
+    rvq_model, B0, _ = train_rvq(key, jnp.asarray(ds.Xt), m, h,
+                                 niter=niter)
+    model, B, obj = train_compq(jnp.asarray(ds.Xt), rvq_model.codebooks,
+                                B0, niter=niter, H=H, lr_total=lr_total,
+                                update=update)
+    Bb, _ = quantize_compq(model, jnp.asarray(ds.Xb), H=H)
+    out = _finish_nonorth(key, "compq", model.codebooks, B, Bb, None,
+                          ds, float(obj[-1]), knn, verbose, store, trial)
+    out["obj"] = np.asarray(obj)
+    return out
+
+
 ALL_METHODS = ("pq", "opq", "rvq", "ervq", "chainq", "lsq", "sr_c",
-               "sr_d")
+               "sr_d", "compq")
 
 
 def run_query_base(dataset: str | Dataset, m: int = 8, h: int = 256,
@@ -333,6 +356,9 @@ def run_train_query_base(dataset: str | Dataset = "sift1m", m: int = 8,
                                     verbose, path, trial,
                                     chain_init=chain_init,
                                     method=method.upper(), **exp_kw)
+            elif method == "compq":
+                out = experiment_compq(key, ds, m - 1, h, niter, knn,
+                                       verbose, path, trial)
             else:
                 raise ValueError(f"unknown method {method!r}")
             if verbose:

@@ -207,7 +207,8 @@ def linscan_cq(C: Array, Q: Array, B: Array, k: int = 1000,
 # ---------------------------------------------------------------------------
 
 def eval_recall(ids: Array, gt: Array, *, ks=(1, 2, 5, 10, 20, 50, 100,
-                                              200, 500, 1000),
+                                              200, 500, 1000, 2000,
+                                              5000, 10000),
                 verbose: bool = True) -> np.ndarray:
     """Recall@N curve: fraction of queries whose true NN appears in the
     top-N returned ids, for N = 1..k.

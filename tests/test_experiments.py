@@ -71,7 +71,7 @@ def test_run_train_query_base_protocol(tmp_path):
         results_dir=str(tmp_path), verbose=False,
         ilsiter=2, icmiter=2, npert=1, chunk=1024)
     assert set(res) == {"pq", "opq", "rvq", "ervq", "chainq", "lsq",
-                        "sr_c", "sr_d"}
+                        "sr_c", "sr_d", "compq"}
     for method, outs in res.items():
         r = outs[0]["recall"]
         assert r[-1] > 0.5, f"{method} recall too low: {r[-1]}"
