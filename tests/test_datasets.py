@@ -160,3 +160,97 @@ def test_synthetic_cache_roundtrip(tmp_path, monkeypatch):
                      seed=1)
     assert len(list(tmp_path.iterdir())) == 2
     assert not np.array_equal(a.Xb, c.Xb)
+
+
+# ---------------------------------------------------------------------------
+# TEXMEX path: fixture files written by the repo's own writers, read
+# back through read_dataset and driven end-to-end (reference semantics:
+# `src/read_datasets.jl:126-153` — learn/base/query xvecs + a (knn, nq)
+# groundtruth ivecs whose FIRST entry per query is the true NN).
+# ---------------------------------------------------------------------------
+
+def _write_texmex_fixture(root, rng, fmt="fvecs", d=16, ntrain=300,
+                          nbase=800, nquery=40, knn=10):
+    import os
+
+    from rayuela_tpu.io.xvecs import (bvecs_write, fvecs_write,
+                                      ivecs_write)
+    sub = {"fvecs": "sift", "bvecs": "sift1b"}[fmt]
+    os.makedirs(os.path.join(root, sub), exist_ok=True)
+    os.makedirs(os.path.join(root, "sift1b", "gnd"), exist_ok=True)
+    if fmt == "fvecs":
+        draw = lambda n: rng.standard_normal((n, d)).astype(np.float32)
+        write = fvecs_write
+        names = dict(train="sift/sift_learn.fvecs",
+                     base="sift/sift_base.fvecs",
+                     query="sift/sift_query.fvecs",
+                     gt="sift/sift_groundtruth.ivecs")
+    else:
+        draw = lambda n: rng.integers(0, 256, (n, d)).astype(np.uint8)
+        write = bvecs_write
+        names = dict(train="sift1b/bigann_learn.bvecs",
+                     base="sift1b/bigann_base.bvecs",
+                     query="sift1b/bigann_query.bvecs",
+                     gt="sift1b/gnd/idx_10M.ivecs")
+    Xt, Xb = draw(ntrain), draw(nbase)
+    Xq = Xb[rng.integers(0, nbase, nquery)].astype(np.float32)
+    Xq = Xq + 0.05 * rng.standard_normal((nquery, d)).astype(np.float32)
+    if fmt == "bvecs":
+        Xq = np.clip(np.round(Xq), 0, 255).astype(np.uint8)
+    d2 = ((Xq.astype(np.float64)[:, None]
+           - Xb.astype(np.float64)[None]) ** 2).sum(-1)
+    gt_full = np.argsort(d2, axis=1)[:, :knn].astype(np.int32)
+    write(os.path.join(root, names["train"]), Xt)
+    write(os.path.join(root, names["base"]), Xb)
+    write(os.path.join(root, names["query"]), Xq)
+    ivecs_write(os.path.join(root, names["gt"]), gt_full)
+    return Xt, Xb, Xq, gt_full
+
+
+def test_texmex_fvecs_read_dataset_roundtrip(tmp_path, monkeypatch):
+    rng = np.random.default_rng(7)
+    Xt, Xb, Xq, gt_full = _write_texmex_fixture(str(tmp_path), rng)
+    monkeypatch.setenv("RAYUELA_DATA", str(tmp_path))
+    ds = read_dataset("sift1m", ntrain=300, nbase=800, nquery=40)
+    np.testing.assert_array_equal(ds.Xt, Xt)
+    np.testing.assert_array_equal(ds.Xb, Xb)
+    np.testing.assert_array_equal(ds.Xq, Xq)
+    np.testing.assert_array_equal(ds.gt, gt_full[:, 0])
+    assert ds.Xt.dtype == np.float32 and ds.gt.dtype == np.int32
+    # partial reads (smaller nquery) slice the files, not error
+    ds2 = read_dataset("sift1m", ntrain=100, nbase=500, nquery=10)
+    np.testing.assert_array_equal(ds2.Xb, Xb[:500])
+    np.testing.assert_array_equal(ds2.gt, gt_full[:10, 0])
+
+
+def test_texmex_bvecs_sift1b_family(tmp_path, monkeypatch):
+    """bvecs ingestion (SIFT1B family): uint8 → f32 conversion and the
+    sliced-base semantics (sift10m = first N of the 1B base with its
+    own gt file, reference `src/read_datasets.jl:154-185`)."""
+    rng = np.random.default_rng(8)
+    Xt, Xb, Xq, gt_full = _write_texmex_fixture(str(tmp_path), rng,
+                                                fmt="bvecs")
+    monkeypatch.setenv("RAYUELA_DATA", str(tmp_path))
+    ds = read_dataset("sift10m", ntrain=300, nbase=800, nquery=40)
+    assert ds.Xb.dtype == np.float32
+    np.testing.assert_array_equal(ds.Xb, Xb.astype(np.float32))
+    np.testing.assert_array_equal(ds.gt, gt_full[:, 0])
+
+
+def test_texmex_end_to_end_protocol(tmp_path, monkeypatch):
+    """read_dataset("sift1m") → run_train_query_base at toy sizes: the
+    exact command a machine with the real TEXMEX files runs for the
+    parity tables (docs/real_data.md), on fixture files here."""
+    from rayuela_tpu.experiments.drivers import run_train_query_base
+
+    rng = np.random.default_rng(9)
+    _write_texmex_fixture(str(tmp_path), rng, d=16, nbase=800)
+    monkeypatch.setenv("RAYUELA_DATA", str(tmp_path))
+    ds = read_dataset("sift1m", ntrain=300, nbase=800, nquery=40)
+    res = run_train_query_base(ds, m=4, h=16, niter=2, ntrials=1,
+                               knn=50, methods=("pq", "opq"),
+                               results_dir=str(tmp_path / "res"),
+                               verbose=False)
+    for outs in res.values():
+        r = outs[0]["recall"]
+        assert r[-1] > 0.5 and (np.diff(r) >= 0).all()
