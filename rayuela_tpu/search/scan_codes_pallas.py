@@ -754,6 +754,67 @@ def build_codes_index(C: Array, B: Array, *, pq: bool = False,
 # decode-mode segment size: 2^16 row ids x 128 lanes (test-patchable)
 _DECODE_SEG = (1 << 16) * LANES
 
+# exact-rescue kernel shape: keep=0 full per-tile sort at a deep buffer
+# (flag probability ~0 at protocol shapes: a lane must hold > 48 of the
+# query's top-k within one segment)
+_RESCUE_R, _RESCUE_TILE = 48, 2048
+
+
+def _rescue_segments(Qj, Cf, nrm, index, best_s, best_i, fl_seg, bounds,
+                     k, *, lut_dtype, interpret, lut_rescan):
+    """Exact-kernel repair of flagged (query, segment) pairs.
+
+    The certificate is per (query, segment): a flag taints only that
+    segment's contribution to the query's merged top-k list (the other
+    segments' lists were exact, and exact merges never evict a true
+    top-k element). So for each flagged segment, the flagged queries
+    re-scan THAT ONE segment with the deep exact kernel (keep=0 full
+    per-tile sort, r=48), the segment's old entries are masked out of
+    the merged list, and the exact per-segment top-k merges back in.
+    Cost: one small kernel call per flagged segment over only the
+    flagged queries — instead of the XLA gather scan over ALL segments
+    (~100x a kernel call at 1e9 codes), which remains only as the
+    last-resort fallback when the rescue kernel itself flags
+    (VERDICT r2 item 5)."""
+    still = np.zeros(fl_seg.shape[1], bool)
+    for si, (start, stop) in enumerate(bounds):
+        qs = np.nonzero(fl_seg[si])[0]
+        if qs.size == 0:
+            continue
+        kseg = min(k, stop - start)
+        if kseg > _RESCUE_R * LANES:
+            still[qs] = True          # beyond the rescue buffer: XLA
+            continue
+        # pad the ragged flagged batch to a power of two to bound
+        # recompiles (same trick as scan_pallas.search's premin rescue)
+        nf = 1 << max(0, int(qs.size - 1).bit_length())
+        qpad = np.pad(qs, (0, nf - qs.size), mode="edge")
+        s2, i2, f2 = pallas_scan_codes_decode_topk(
+            Qj[qpad], Cf, nrm, index.packed[start:stop], k=kseg,
+            pq=index.pq, r=_RESCUE_R, bq=128, tile=_RESCUE_TILE,
+            keep=0, verify=True, interpret=interpret,
+            op_dtype=lut_dtype, stage=0, qsuper=1)
+        f2 = np.asarray(f2)[:qs.size]
+        sel = np.arange(qs.size)
+        bs, bi = best_s[qs], best_i[qs]
+        # mask the tainted segment's old entries, then merge its exact
+        # list back in (masking avoids duplicate ids in the union)
+        inseg = (bi >= start) & (bi < stop)
+        cs = jnp.concatenate([jnp.where(inseg, jnp.inf, bs), s2[sel]],
+                             axis=1)
+        ci = jnp.concatenate([bi, i2[sel] + start], axis=1)
+        neg, loc = lax.top_k(-cs, min(k, cs.shape[1]))
+        best_s = best_s.at[qs].set(-neg)
+        best_i = best_i.at[qs].set(jnp.take_along_axis(ci, loc, axis=1))
+        if f2.any():
+            still[qs[f2]] = True
+    if still.any():
+        qidx = np.nonzero(still)[0]
+        s2, i2 = lut_rescan(qidx, bounds, lambda a, b: min(k, b - a))
+        best_s = best_s.at[qidx].set(s2)
+        best_i = best_i.at[qidx].set(i2)
+    return best_s, best_i
+
 
 def _codes_auto_config(k: int, nq: int, pack: bool, mode: str,
                        mprime: int | None = None):
@@ -898,11 +959,11 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
             s, i, fl = scan_segment(index.packed, k)
             fl = np.asarray(fl)
             if fl.any():
-                qidx = np.nonzero(fl)[0]
-                s2, i2 = lut_rescan(qidx, [(0, index.n)],
-                                    lambda a, b: k)
-                s = s.at[qidx].set(s2)
-                i = i.at[qidx].set(i2)
+                s, i = _rescue_segments(
+                    Qj, Cf, nrm, index, s, i, fl[None],
+                    [(0, index.n)], min(k, index.n),
+                    lut_dtype=lut_dtype, interpret=interpret,
+                    lut_rescan=lut_rescan)
             return s + q2, i
 
         # Segmented path: flag checks are DEFERRED so there is exactly
@@ -935,7 +996,6 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                     jnp.zeros((nq, k), jnp.int32))
             (best_s, best_i), fls = lax.scan(
                 body, init, (Pfull, jnp.arange(nfull)))
-            fl_any = jnp.any(fls, axis=0)
             if rem:
                 s, i, fl = scan_segment(index.packed[nfull * seg:],
                                         min(k, rem))
@@ -944,8 +1004,8 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                 neg, loc = lax.top_k(-cs, k)
                 best_s = -neg
                 best_i = jnp.take_along_axis(ci, loc, axis=1)
-                fl_any = fl_any | fl
-            flagged = np.asarray(fl_any)
+                fls = jnp.concatenate([fls, fl[None]], axis=0)
+            fl_seg = np.asarray(fls)            # ONE host sync
         else:
             best_s = best_i = None
             fls = []
@@ -962,15 +1022,15 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                     neg, loc = lax.top_k(-cat_s, k)  # (nq, <=2k) merge
                     best_s = -neg
                     best_i = jnp.take_along_axis(cat_i, loc, axis=1)
-            flagged = np.asarray(jnp.any(jnp.stack(fls), axis=0))
-        if flagged.any():
-            # any flagged (query, segment) taints that query's merged
-            # list: rebuild those queries exactly over ALL segments
-            qidx = np.nonzero(flagged)[0]
-            s2, i2 = lut_rescan(qidx, bounds,
-                                lambda a, b: min(k, b - a))
-            best_s = best_s.at[qidx].set(s2)
-            best_i = best_i.at[qidx].set(i2)
+            fl_seg = np.asarray(jnp.stack(fls))
+        if fl_seg.any():
+            # the certificate is per (query, segment): repair only the
+            # flagged segments with the deep exact kernel, not an XLA
+            # scan over the whole base
+            best_s, best_i = _rescue_segments(
+                Qj, Cf, nrm, index, best_s, best_i, fl_seg, bounds, k,
+                lut_dtype=lut_dtype, interpret=interpret,
+                lut_rescan=lut_rescan)
         return best_s + q2, best_i
     else:
         T = build_luts(index.C, Q, pq=index.pq, d=d,

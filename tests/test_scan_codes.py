@@ -431,3 +431,43 @@ def test_decode_mode_qsuper_stage_mutually_exclusive(rng):
     with pytest.raises(ValueError):
         search_codes(idx, Q, 8, interpret=True, mode="decode", bq=4,
                      tile=1024, r=16, keep=2, stage=8, qsuper=2)
+
+
+def test_segmented_multiflag_exact_kernel_rescue(rng, monkeypatch):
+    """Flags at 2+ segments repair through the per-segment exact
+    kernel, NOT the all-segments XLA gather scan (stubbed to fail):
+    the certificate is per (query, segment) and only tainted segments
+    re-scan (VERDICT r2 item 5)."""
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    from rayuela_tpu.search import scan_codes_pallas as scp
+    d, m, h, n, k = 16, 4, 16, 8192, 32
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    best = rng.integers(0, h, m).astype(np.int32)
+    for t in range(16):            # overflow lane 0 of segment 0
+        B[t * 128] = best
+    for t in range(16):            # ... and of segment 2
+        B[2 * 2048 + t * 128] = best
+    Q = np.asarray(reconstruct_pq(C, B, d))[0:1] + 0.0
+    Q = np.concatenate([Q, rng.standard_normal((3, d)).astype(np.float32)])
+    idx = scp.build_codes_index(jnp.asarray(C), jnp.asarray(B),
+                                pq=True, d=d)
+    monkeypatch.setattr(scp, "_DECODE_SEG", 2048)
+
+    def boom(*a, **kw):
+        raise AssertionError("XLA all-segments fallback entered")
+
+    monkeypatch.setattr(scp, "xla_lut_scan", boom)
+    dv, di = scp.search_codes(idx, jnp.asarray(Q), k, r=8, tile=1024,
+                              interpret=True, lut_dtype=jnp.float32)
+    Xd = np.asarray(reconstruct_pq(C, B, d))
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(dv), np.sort(D, 1)[:, :k],
+                               rtol=1e-4, atol=1e-3)
+    picked = np.take_along_axis(D, np.asarray(di), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(dv), rtol=1e-4,
+                               atol=1e-3)
+    # no duplicate ids: masking the tainted segment before the merge
+    # must keep the union disjoint
+    ids = np.asarray(di)
+    for row in ids:
+        assert len(set(row.tolist())) == len(row)
