@@ -53,6 +53,11 @@ LANES = 128
 # (toggle + jax.clear_caches() to retrace)
 _TOURNAMENT = True
 
+# staged flush merges the staging buffer's already-sorted keep-runs
+# (skipping the k <= keep phases of the staging sort) instead of
+# full-sorting it; same A/B-flag convention as _TOURNAMENT
+_RUNMERGE = True
+
 
 # ---------------------------------------------------------------------------
 # Static bitonic networks (precomputed permutations + min-masks)
@@ -365,15 +370,18 @@ def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int) -> Array:
     32-idbits bits of the sortable value, low ``idbits`` bits the
     per-lane row id (gid = rowid*128 + lane). Keys are UNIQUE per
     (lane, query), so the packed order is total — no ties anywhere in
-    the selection or its certificate."""
+    the selection or its certificate.
+
+    The row id is LANE-INDEPENDENT (rid = gid >> 7 = t*rows + row), so
+    it is one (rows, LANES, 1) iota broadcast-OR'd over the query
+    minor axis — an earlier form materialized the full
+    (rows, LANES, bq) gid with two iotas and shifted the lane bits
+    away, which cost ~1.5 ms per 2048 queries at k=1000 (measured
+    2026-08-19, /tmp/exp_sel2.log: +2.8% qps from this change alone;
+    bit-identical outputs)."""
     sv = s.reshape(rows, LANES, bq)
-    # gid spelled with both iotas on purpose: the dim0-only form
-    # (t*rows + iota0) SIGABRTs the Mosaic compiler on this toolchain.
-    tile = rows * LANES
-    gid = (t * tile
-           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 0) * LANES
-           + lax.broadcasted_iota(jnp.int32, (rows, LANES, bq), 1))
-    rid = lax.shift_right_logical(gid, 7)             # // LANES, i32
+    rid = (lax.broadcasted_iota(jnp.int32, (rows, LANES, 1), 0)
+           + t * rows)
     key = _sortable_key(sv)
     vmask = jnp.int32(-(1 << idbits))                 # low idbits zero
     return (key & vmask) | rid
@@ -480,17 +488,32 @@ def _select_insert_packed_staged(s: Array, t, bufp, stagep, dminp, sem,
     kv, disc_min = _prered_topk(kv, keep)
     if disc_min is not None:
         dminp[:] = jnp.minimum(dminp[:], disc_min[None])
-    stagep[pl.ds(lax.rem(t, stage) * keep, keep)] = kv
+    sidx = lax.rem(t, stage)
+    if _RUNMERGE and keep > 1:
+        # store runs in ALTERNATING directions (even slot descending —
+        # prered's natural order — odd slot reversed to ascending):
+        # exactly the state a descending-target bitonic sort of
+        # keep*stage rows is in after completing its width-``keep``
+        # phase, so the flush below resumes that network at width
+        # 2*keep instead of full-sorting from scratch. Reversing
+        # ``keep`` rows costs log2(keep) stack stages on a tiny array;
+        # the flush saves log2(keep)*(log2(keep)+1)/2 full-width
+        # stages every ``stage`` tiles. Empty slots stay imax
+        # (constant runs sort both ways).
+        kv = jnp.where(sidx % 2 == 0, kv, _rev_leading(kv))
+    stagep[pl.ds(sidx * keep, keep)] = kv
 
-    @pl.when((lax.rem(t, stage) == stage - 1) | (t == ntiles - 1))
+    @pl.when((sidx == stage - 1) | (t == ntiles - 1))
     def _():
-        # staged rows: `stage` descending runs of `keep` (empty slots
-        # = imax, which a descending sort floats to the top where they
-        # lose the ascending merge); full sort is the simple, safe
-        # form — it costs O(log^2(keep*stage)) stages once per
-        # `stage` tiles
-        sv = _apply_network1(stagep[:], _sort_stages(keep * stage),
-                             descending=True)
+        if _RUNMERGE and keep > 1:
+            tail_stages = [(j, kk) for (j, kk)
+                           in _sort_stages(keep * stage) if kk > keep]
+            sv = _apply_network1(stagep[:], tail_stages,
+                                 descending=True)
+        else:
+            # full sort of the staging rows — the simple, safe form
+            sv = _apply_network1(stagep[:], _sort_stages(keep * stage),
+                                 descending=True)
         mv = jnp.concatenate([bufp[:], sv], axis=0)
         mv = _apply_network1(mv, _merge_stages(r + keep * stage))
         bufp[:] = mv[:r]
