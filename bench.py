@@ -1,7 +1,13 @@
 """Headline benchmarks: SIFT1M-protocol scan + encode on one TPU chip.
 
 Emits one JSON line per metric: ``{"metric", "value", "unit",
-"vs_baseline"}``.
+"vs_baseline", "spread"}``. ``spread`` is max/min wall-clock over the
+timing reps — the axon tunnel injects erratic multi-hundred-ms stalls,
+so any single-number metric needs its dispersion recorded (a spread
+near 1.0 means the number is steady-state; large spreads mean tunnel
+noise, trust the dedicated benches). Every RATIO metric (vs this
+repo's own XLA formulation) interleaves the two implementations
+rep-by-rep so tunnel drift cancels (VERDICT r2 item 4).
 
 * ``adc_scan_qps_sift1m_m8_knn1000`` / ``..._knn100`` — the deployment
   hot path (reference `src/Linscan.jl:5-26` →
@@ -19,21 +25,30 @@ Emits one JSON line per metric: ``{"metric", "value", "unit",
 * ``icm_encode_vps_m8`` / ``_m16`` — LSQ-family ILS/ICM encode
   (ilsiter=8, icmiter=4, npert=4; reference
   `demos/demos_train_query_base.jl:64-67`) in vectors/s on the Pallas
-  running-sum kernel. The reference records no throughput (wall-clock
-  prints only), so vs_baseline is the speedup over this repo's own
-  XLA one-hot formulation measured in the same run.
+  running-sum kernel; vs_baseline is the interleaved in-run speedup
+  over this repo's XLA one-hot formulation.
 * ``viterbi_encode_vps_m8`` — ChainQ exact Viterbi encode (reference
   C++/CUDA kernels `deps/src/encode_icm.cpp:63-152`,
   `cudautils.cu:198-291`) on the Pallas kernel; vs_baseline is the
-  in-run speedup over the batched XLA min-plus path.
+  interleaved in-run speedup over the batched XLA min-plus path.
 * ``codes_scan_qps_100m_m8_knn1000`` — SIFT100M-scale: n=1e8 codes
   (800 MB packed) resident on one chip, segmented code-resident scan;
   vs_baseline scales the reference estimate by base size.
+* ``codes_scan_qps_1b_m8_knn100`` — SIFT1B-scale: n=1e9 codes (8 GB
+  packed, the WHOLE base chip-resident), 120 exact-merged segments;
+  same scaled baseline. Skipped when the bench is near its time
+  budget (set ``RAYUELA_BENCH_1B=0`` to skip explicitly).
+* ``sharded_scan_qps_1dev_knn1000`` — the decoded scan through the
+  `parallel.mesh` sharded wrapper on a ONE-device mesh; vs_baseline is
+  the interleaved ratio to the direct `search()` (>= ~1.0 shows the
+  multi-chip wrapper adds no single-chip overhead — the scaling
+  starting point).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -42,16 +57,16 @@ SCAN_BASELINE_QPS = 2000.0  # documented estimate; see module docstring
 
 N, D, M, H = 1_000_000, 128, 8, 256
 NQ, KNN = 10_000, 1000
-QCHUNK = 2_000
 N_ENC = 200_000
+START = time.monotonic()
+TIME_BUDGET_1B = float(os.environ.get("RAYUELA_BENCH_1B_BUDGET", 2400))
 
 
 def _sync(x):
     """Hard host sync WITHOUT pulling the full result through the axon
     tunnel: block, then fetch one element (block_until_ready alone
     under-measures on this backend; a full np.asarray of a (2e5, m)
-    codes array adds ~150 ms of pure tunnel transfer to every rep —
-    that artifact depressed the round-2 encode numbers by ~1.6x)."""
+    codes array adds ~150 ms of pure tunnel transfer to every rep)."""
     import jax
     jax.block_until_ready(x)
     a = x[0] if isinstance(x, (tuple, list)) else x
@@ -60,22 +75,38 @@ def _sync(x):
     return np.asarray(a)
 
 
-def _best_of(fn, reps: int = 3) -> float:
-    """Min wall-clock over ``reps`` calls (each fn() must block until
-    its result is on host). The axon tunnel injects erratic
-    multi-hundred-ms stalls; the minimum is the steady-state time."""
-    best = float("inf")
+def _timed(fn, reps: int = 3) -> tuple[float, float]:
+    """(best, spread=max/min) wall-clock over ``reps`` calls (each
+    fn() must block until its result is on host). The minimum is the
+    steady-state time; the spread records tunnel noise."""
+    ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        ts.append(time.perf_counter() - t0)
+    return min(ts), max(ts) / min(ts)
 
 
-def emit(metric, value, unit, vs):
-    print(json.dumps({"metric": metric, "value": round(value, 1),
-                      "unit": unit, "vs_baseline": round(vs, 3)}),
-          flush=True)
+def _timed_interleaved(fn_a, fn_b, reps: int = 3):
+    """Interleave two implementations rep-by-rep so tunnel drift
+    affects both equally → (best_a, best_b, spread_a)."""
+    ta, tb = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn_a()
+        ta.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fn_b()
+        tb.append(time.perf_counter() - t0)
+    return min(ta), min(tb), max(ta) / min(ta)
+
+
+def emit(metric, value, unit, vs, spread=None):
+    rec = {"metric": metric, "value": round(value, 1), "unit": unit,
+           "vs_baseline": round(vs, 3)}
+    if spread is not None:
+        rec["spread"] = round(spread, 3)
+    print(json.dumps(rec), flush=True)
 
 
 def bench_scan(jax, jnp, rng, C, B, Q):
@@ -91,7 +122,7 @@ def bench_scan(jax, jnp, rng, C, B, Q):
     # 2026-08-18 profile) and under-reports qps 30-50%.
     do_search, needs_sync = search, False
     try:
-        out = do_search(index, Q[:QCHUNK], KNN)
+        out = do_search(index, Q[:2000], KNN)
         _ = np.asarray(out[0][0, :1])
     except Exception as e:
         print(f"# pallas path unavailable ({type(e).__name__}); "
@@ -101,14 +132,11 @@ def bench_scan(jax, jnp, rng, C, B, Q):
         def do_search(idx, q, k):
             return exact_rescan(q, idx.Xd, idx.x2, k)
         needs_sync = True
-        out = do_search(index, Q[:QCHUNK], KNN)
+        out = do_search(index, Q[:2000], KNN)
         _ = np.asarray(out[0][0, :1])
 
     for knn, name in ((KNN, "adc_scan_qps_sift1m_m8_knn1000"),
                       (100, "adc_scan_qps_sift1m_m8_knn100")):
-        # one call over all queries: the per-chunk host sync for the
-        # exactness-flag check costs an axon round-trip per chunk
-        # (measured ~2x at QCHUNK=2000)
         out = do_search(index, Q, knn)                # compile/warm
         _ = np.asarray(out[0][0, :1])
 
@@ -117,9 +145,39 @@ def bench_scan(jax, jnp, rng, C, B, Q):
             if needs_sync:
                 jax.block_until_ready(out)
                 _ = np.asarray(out[0][0, 0])
-        qps = NQ / _best_of(call)
-        emit(name, qps, "queries/s", qps / SCAN_BASELINE_QPS)
-    del index
+        dt, spread = _timed(call)
+        qps = NQ / dt
+        emit(name, qps, "queries/s", qps / SCAN_BASELINE_QPS, spread)
+    return index
+
+
+def bench_sharded(jax, jnp, index, Q):
+    """1-device-mesh sharded wrapper vs direct search, interleaved —
+    the claim the round-2 BASELINE carried only as prose."""
+    try:
+        from rayuela_tpu.parallel.mesh import make_mesh, sharded_search
+        from rayuela_tpu.search.scan_pallas import search
+
+        mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+        out = sharded_search(mesh, index.Xd, index.x2, Q, k=KNN)
+        _ = np.asarray(out[0][0, :1])                 # compile/warm
+        out = search(index, Q, KNN)
+        _ = np.asarray(out[0][0, :1])
+
+        def call_sh():
+            out = sharded_search(mesh, index.Xd, index.x2, Q, k=KNN)
+            _ = np.asarray(out[0][0, :1])
+
+        def call_direct():
+            search(index, Q, KNN)                     # internal sync
+
+        t_sh, t_dir, spread = _timed_interleaved(call_sh, call_direct)
+        qps = NQ / t_sh
+        emit("sharded_scan_qps_1dev_knn1000", qps, "queries/s",
+             (NQ / t_sh) / (NQ / t_dir), spread)
+    except Exception as e:
+        print(f"# sharded 1-dev row unavailable ({type(e).__name__}: "
+              f"{e})", flush=True)
 
 
 def bench_scan_codes(jax, jnp, rng, C, B, Q):
@@ -143,13 +201,13 @@ def bench_scan_codes(jax, jnp, rng, C, B, Q):
             out = search_codes(idx, Q, knn)               # compile/warm
             _ = np.asarray(out[0][0, :1])
 
-            # search_codes hard-syncs internally (flags pull) — see
-            # bench_scan
+            # search_codes hard-syncs internally (flags pull)
             def call(idx=idx, knn=knn):
                 search_codes(idx, Q, knn)
-            qps = NQ / _best_of(call)
+            dt, spread = _timed(call)
+            qps = NQ / dt
             emit(f"codes_scan_qps_sift1m_m{m}_knn{knn}", qps,
-                 "queries/s", qps / SCAN_BASELINE_QPS)
+                 "queries/s", qps / SCAN_BASELINE_QPS, spread)
         del idx
 
 
@@ -164,24 +222,24 @@ def bench_encode(jax, jnp, rng):
         B0 = jnp.asarray(rng.integers(0, H, size=(N_ENC, m)), jnp.int32)
         jax.block_until_ready((X, C, B0))
         kw = dict(ilsiter=8, icmiter=4, npert=4, randord=True)
+        nx = 50_000                    # XLA slice for the in-run ratio
 
         try:
             _sync(encoding_icm(key, X, C, B0, impl="pallas", **kw))
-            vps = N_ENC / _best_of(
-                lambda: _sync(encoding_icm(key, X, C, B0,
-                                           impl="pallas", **kw)))
         except Exception as e:
             print(f"# pallas encode m={m} unavailable "
                   f"({type(e).__name__}: {e})", flush=True)
             continue
-
-        # XLA formulation on a slice, for the in-run speedup ratio
-        nx = 50_000
         _sync(encoding_icm(key, X[:nx], C, B0[:nx], impl="xla", **kw))
-        xla_vps = nx / _best_of(
+
+        t_p, t_x, spread = _timed_interleaved(
+            lambda: _sync(encoding_icm(key, X, C, B0, impl="pallas",
+                                       **kw)),
             lambda: _sync(encoding_icm(key, X[:nx], C, B0[:nx],
-                                       impl="xla", **kw)), reps=2)
-        emit(f"icm_encode_vps_m{m}", vps, "vectors/s", vps / xla_vps)
+                                       impl="xla", **kw)))
+        vps = N_ENC / t_p
+        emit(f"icm_encode_vps_m{m}", vps, "vectors/s",
+             vps / (nx / t_x), spread)
 
 
 def bench_viterbi(jax, jnp, rng):
@@ -193,16 +251,32 @@ def bench_viterbi(jax, jnp, rng):
     jax.block_until_ready((X, C))
     try:
         _sync(viterbi_encode(X, C, impl="pallas"))
-        vps = n_vit / _best_of(
-            lambda: _sync(viterbi_encode(X, C, impl="pallas")))
     except Exception as e:
         print(f"# pallas viterbi unavailable ({type(e).__name__}: {e})",
               flush=True)
         return
     _sync(viterbi_encode(X, C, impl="xla"))
-    xla_vps = n_vit / _best_of(
-        lambda: _sync(viterbi_encode(X, C, impl="xla")), reps=2)
-    emit("viterbi_encode_vps_m8", vps, "vectors/s", vps / xla_vps)
+    t_p, t_x, spread = _timed_interleaved(
+        lambda: _sync(viterbi_encode(X, C, impl="pallas")),
+        lambda: _sync(viterbi_encode(X, C, impl="xla")), reps=4)
+    vps = n_vit / t_p
+    emit("viterbi_encode_vps_m8", vps, "vectors/s", vps / (n_vit / t_x),
+         spread)
+
+
+def _random_packed_codes(jax, jnp, rng, n_big):
+    """uint8 (n, m) little-endian IS the packed int32 (n, m/4) array;
+    rng.bytes is ~20x faster than rng.integers, but ONE big call
+    degrades to ~10 MB/s — chunk it (see NEXT.md)."""
+    B8 = np.empty((n_big, M), np.uint8)
+    flat, step = B8.reshape(-1), 1 << 28
+    for st in range(0, n_big * M, step):
+        sz = min(step, n_big * M - st)
+        flat[st:st + sz] = np.frombuffer(rng.bytes(sz), np.uint8)
+    packed = jax.device_put(
+        jnp.asarray(B8.view(np.uint32).view(np.int32)))
+    jax.block_until_ready(packed)
+    return packed
 
 
 def bench_scan_100m(jax, jnp, rng, C, Q):
@@ -211,37 +285,60 @@ def bench_scan_100m(jax, jnp, rng, C, Q):
     segmented in-kernel-decode path (12 exact-merged segments);
     vs_baseline is vs the same ~2k-qps reference estimate scaled by
     base size (the reference CPU scan is linear in n)."""
-    from rayuela_tpu.search.scan_codes_pallas import CodesIndex
+    from rayuela_tpu.search.scan_codes_pallas import (CodesIndex,
+                                                      search_codes)
 
     n_big, nq_big = 100_000_000, 1_000
     try:
-        # uint8 (n, m) little-endian IS the packed int32 (n, m/4)
-        # array; rng.bytes is ~20x faster than rng.integers, but ONE
-        # big call degrades to ~10 MB/s — chunk it (see NEXT.md)
-        B8 = np.empty((n_big, M), np.uint8)
-        flat, step = B8.reshape(-1), 1 << 28
-        for st in range(0, n_big * M, step):
-            sz = min(step, n_big * M - st)
-            flat[st:st + sz] = np.frombuffer(rng.bytes(sz), np.uint8)
-        packed = jax.device_put(
-            jnp.asarray(B8.view(np.uint32).view(np.int32)))
-        jax.block_until_ready(packed)
+        packed = _random_packed_codes(jax, jnp, rng, n_big)
         idx = CodesIndex(packed, M, C, pq=True, d=D, norms_cbook=None)
-        from rayuela_tpu.search.scan_codes_pallas import search_codes
-
         Qb = Q[:nq_big]
         out = search_codes(idx, Qb, KNN)
         _ = np.asarray(out[0][0, :1])
 
         def call():
             search_codes(idx, Qb, KNN)   # internal flags-pull sync
-        qps = nq_big / _best_of(call, reps=3)
+        dt, spread = _timed(call)
+        qps = nq_big / dt
         base = SCAN_BASELINE_QPS * N / n_big
         emit("codes_scan_qps_100m_m8_knn1000", qps, "queries/s",
-             qps / base)
+             qps / base, spread)
         del idx, packed
     except Exception as e:
         print(f"# 100m codes scan unavailable ({type(e).__name__}: "
+              f"{e})", flush=True)
+
+
+def bench_scan_1b(jax, jnp, rng, C, Q):
+    """SIFT1B-scale: the whole 8 GB packed base chip-resident, 120
+    exact-merged segments (round-2 headline, now driver-captured)."""
+    from rayuela_tpu.search.scan_codes_pallas import (CodesIndex,
+                                                      search_codes)
+
+    if os.environ.get("RAYUELA_BENCH_1B", "1") == "0":
+        print("# 1b row skipped (RAYUELA_BENCH_1B=0)", flush=True)
+        return
+    if time.monotonic() - START > TIME_BUDGET_1B:
+        print("# 1b row skipped (time budget)", flush=True)
+        return
+    n_big, nq_big, knn = 1_000_000_000, 1_000, 100
+    try:
+        packed = _random_packed_codes(jax, jnp, rng, n_big)
+        idx = CodesIndex(packed, M, C, pq=True, d=D, norms_cbook=None)
+        Qb = Q[:nq_big]
+        out = search_codes(idx, Qb, knn)
+        _ = np.asarray(out[0][0, :1])
+
+        def call():
+            search_codes(idx, Qb, knn)
+        dt, spread = _timed(call, reps=2)
+        qps = nq_big / dt
+        base = SCAN_BASELINE_QPS * N / n_big
+        emit("codes_scan_qps_1b_m8_knn100", qps, "queries/s",
+             qps / base, spread)
+        del idx, packed
+    except Exception as e:
+        print(f"# 1b codes scan unavailable ({type(e).__name__}: "
               f"{e})", flush=True)
 
 
@@ -263,11 +360,14 @@ def main():
     Q = jnp.asarray(rng.standard_normal((NQ, D)), jnp.float32)
     jax.block_until_ready((C, B, Q))
 
-    bench_scan(jax, jnp, rng, C, B, Q)
+    index = bench_scan(jax, jnp, rng, C, B, Q)
+    bench_sharded(jax, jnp, index, Q)
+    del index
     bench_scan_codes(jax, jnp, rng, C, B, Q)
     bench_encode(jax, jnp, rng)
     bench_viterbi(jax, jnp, rng)
     bench_scan_100m(jax, jnp, rng, C, Q)
+    bench_scan_1b(jax, jnp, rng, C, Q)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,11 @@ _TOURNAMENT = True
 # full-sorting it; same A/B-flag convention as _TOURNAMENT
 _RUNMERGE = True
 
+# in-graph premin rescue slot count: flagged queries beyond this many
+# fall through to the XLA rescan (expected flags at premin=2, k=100,
+# n=1e6: ~150 per 1e4 queries)
+_PREMIN_NR = 256
+
 
 # ---------------------------------------------------------------------------
 # Static bitonic networks (precomputed permutations + min-masks)
@@ -1228,6 +1233,55 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
     return dists, ids, flagged
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "r", "bq", "tile", "interpret",
+                              "keep", "vmem_mb", "stage", "premin",
+                              "nr"))
+def _scan_premin_inline(Q: Array, Xd: Array, x2: Array, *, k: int,
+                        r: int, bq: int, tile: int, keep: int,
+                        stage: int, premin: int, nr: int,
+                        vmem_mb: int | None = None,
+                        interpret: bool = False
+                        ) -> tuple[Array, Array, Array]:
+    """premin scan + IN-GRAPH exact-kernel rescue — one dispatch.
+
+    The round-2 premin sweep measured +15-23% kernel-level at k=100
+    but a LOSS end-to-end: the host-side rescue ladder cost one extra
+    dispatch + tunnel round-trip, which outweighed the kernel saving
+    in this environment (BASELINE.md). This wrapper folds the rescue
+    into the same jit: the lossy premin scan runs for all queries,
+    then up to ``nr`` flagged queries re-run through the exact kernel
+    (premin=0) over the same index INSIDE the graph (a fixed-slot
+    gather via `lax.top_k` on the flag vector — top-k indices are
+    distinct and flagged-first), and the repaired results scatter
+    back. The returned flag vector covers only what remains unproven:
+    flag overflow beyond ``nr`` slots, or the rescue kernel's own
+    (certificate) flags — both vanishingly rare; the host falls back
+    to the XLA rescan for those exactly as before.
+
+    Cost when nothing is flagged: one extra ``nr``-query kernel pass
+    (~nr/nq of the main scan) — vs the measured ~1 RTT the host-side
+    ladder paid per call."""
+    nq = Q.shape[0]
+    d1, i1, fl = pallas_scan_topk(
+        Q, Xd, x2, k=k, r=r, bq=bq, tile=tile, verify=True,
+        interpret=interpret, pack=True, keep=keep, vmem_mb=vmem_mb,
+        stage=stage, premin=premin)
+    nr = min(nr, nq)
+    fli = fl.astype(jnp.int32)
+    _, qidx = lax.top_k(fli, nr)             # flagged-first, distinct
+    d2, i2, f2 = pallas_scan_topk(
+        Q[qidx], Xd, x2, k=k, r=r, bq=min(bq, max(nr, LANES)),
+        tile=tile, verify=True, interpret=interpret, pack=True,
+        keep=keep, vmem_mb=vmem_mb, stage=stage, premin=0)
+    sel = fl[qidx]                           # real flags among slots
+    d1 = d1.at[qidx].set(jnp.where(sel[:, None], d2, d1[qidx]))
+    i1 = i1.at[qidx].set(jnp.where(sel[:, None], i2, i1[qidx]))
+    rescued = jnp.zeros((nq,), bool).at[qidx].set(sel & ~f2)
+    # un-slotted flags (overflow beyond nr) stay set in fl & ~rescued
+    return d1, i1, fl & ~rescued
+
+
 class LinscanIndex:
     """A decoded, scan-ready base set: build once, search many times.
 
@@ -1255,7 +1309,8 @@ def build_index(C: Array, B: Array, *, pq: bool = False,
     return LinscanIndex(Xd, x2)
 
 
-def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False):
+def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False,
+                 n: int | None = None):
     """Measured-best (r, bq, tile, keep, stage, premin) per k class (1x v5e
     sweeps: demos/bench_prered.py, /tmp/cert2, /tmp/bench_staged.py,
     2026-08-17). With keep pre-reduction + the in-scan certificate +
@@ -1266,7 +1321,17 @@ def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False):
     per-tile merge. The tile=4096 configs exceed VMEM with an f32
     index (the compiler crashes), so f32 falls back to the measured
     tile=2048 per-tile-merge equivalents. f32+i32 selection mode keeps
-    the round-1 configs (its buffers are 2x)."""
+    the round-1 configs (its buffers are 2x).
+
+    ``premin=2`` (lossy pairwise pre-min + IN-GRAPH fixed-slot rescue,
+    `_scan_premin_inline`) turns on for the small-k class when the
+    expected flagged-query count ~nq*(2^premin-1)*k^2/(2n) stays well
+    under the rescue slots: measured e2e through search() 2026-08-19
+    (/tmp/exp_premin.log, interleaved NQ=1e4): premin=2 114.9k qps vs
+    104.1k at premin=0 (+10.4%), bit-identical results; premin=3
+    overflows the slots (380 flags > 256) and collapses to 77k. The
+    round-2 host-side rescue ladder LOST e2e (BASELINE.md) — the
+    in-graph rescue is what made premin net-positive."""
     premin = 0
     if not pack:
         return (16 if k <= 512 else 48), 128, 2048, 0, 0, 0
@@ -1287,6 +1352,9 @@ def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False):
         tile = 8192
         if k <= 512:
             r, bq, keep, stage = 16, 256, 2, 8
+            if (n is not None
+                    and nq * 1.5 * k * k / max(n, 1) <= 0.8 * _PREMIN_NR):
+                premin = 2
         elif k <= 32 * LANES:
             r, bq, keep, stage = 32, 256, 4, 8
         else:
@@ -1319,7 +1387,8 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     if pack is None:
         pack = not interpret
     ar, abq, atile, akeep, astage, apremin = _auto_config(
-        k, Q.shape[0], pack, f32_index=index.Xd.dtype == jnp.float32)
+        k, Q.shape[0], pack, f32_index=index.Xd.dtype == jnp.float32,
+        n=index.n)
     stage = astage
     if r is not None or keep is not None or tile is not None:
         stage = 0             # explicit config: per-tile merge semantics
@@ -1331,32 +1400,20 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     premin = apremin if premin is None else premin
     if vmem_mb is None and (tile > 4096 or stage):
         vmem_mb = 64          # beyond the 16 MB scoped-VMEM default
-    dists, ids, flagged = pallas_scan_topk(
-        Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
-        verify=True, interpret=interpret, pack=pack, keep=keep,
-        vmem_mb=vmem_mb, stage=stage, premin=premin)
+    if premin and pack:
+        # lossy pre-filter + IN-GRAPH fixed-slot exact rescue: one
+        # dispatch total (the host-side rescue ladder's extra dispatch
+        # + tunnel RTT made premin LOSE e2e in round 2, BASELINE.md)
+        dists, ids, flagged = _scan_premin_inline(
+            Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
+            keep=keep, stage=stage, premin=premin, nr=_PREMIN_NR,
+            vmem_mb=vmem_mb, interpret=interpret)
+    else:
+        dists, ids, flagged = pallas_scan_topk(
+            Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
+            verify=True, interpret=interpret, pack=pack, keep=keep,
+            vmem_mb=vmem_mb, stage=stage, premin=premin)
     flagged = np.asarray(flagged)
-    if flagged.any() and premin:
-        # lossy pre-filter flags ~1-2% of queries by design; route them
-        # through the EXACT kernel (premin=0) first — one small Pallas
-        # call instead of the ~100x-slower XLA rescan — and let only
-        # its own (rare) flags fall through to XLA below. Pad the
-        # ragged flagged batch to a power of two to bound recompiles.
-        qidx = np.nonzero(flagged)[0]
-        nf = 1 << max(0, int(len(qidx) - 1).bit_length())
-        qpad = np.pad(qidx, (0, nf - len(qidx)), mode="edge")
-        # compiled query blocks are lane-aligned: bq must stay >= 128
-        # (the scan's output DMA slices the minor axis at bq stride)
-        bq2 = min(bq, max(nf, 1 if interpret else LANES))
-        d2, i2, f2 = pallas_scan_topk(
-            Q[qpad], index.Xd, index.x2, k=k, r=r, bq=bq2,
-            tile=tile, verify=True, interpret=interpret, pack=pack,
-            keep=keep, vmem_mb=vmem_mb, stage=stage, premin=0)
-        sel = np.arange(len(qidx))
-        dists = dists.at[qidx].set(d2[sel])
-        ids = ids.at[qidx].set(i2[sel])
-        flagged = np.zeros_like(flagged)
-        flagged[qidx[np.asarray(f2)[sel]]] = True
     if flagged.any():
         from rayuela_tpu.search.linscan import exact_rescan
         qidx = np.nonzero(flagged)[0]

@@ -542,9 +542,11 @@ def test_auto_config_valid_across_k_classes():
               56 * 128):
         for nq in (1, 7, 128, 2000, 10_000):
             for pack in (False, True):
-                for f32 in (False, True):
+                for f32, n in ((False, None), (True, None),
+                               (False, 20_000), (False, 1_000_000),
+                               (False, 100_000_000)):
                     r, bq, tile, keep, stage, premin = _auto_config(
-                        k, nq, pack, f32)
+                        k, nq, pack, f32, n=n)
                     rows = tile // LANES
                     assert rows & (rows - 1) == 0
                     assert bq >= 1
@@ -562,3 +564,24 @@ def test_auto_config_valid_across_k_classes():
                     else:
                         assert stage == 0 and premin == 0
                         assert (r + rows) & (r + rows - 1) == 0
+
+
+def test_premin_inline_rescue_slot_overflow(rng, monkeypatch):
+    """More flagged queries than in-graph rescue slots: the un-slotted
+    flags must survive to the host and fall through to the XLA rescan —
+    the combined result stays exact."""
+    from rayuela_tpu.search import scan_pallas as sp
+    nq, n, d, k = 8, 20_000, 32, 10
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32) + 30.0
+    for q in range(6):                  # 6 queries lose a hit
+        Xd[q * 512 + 7] = Q[q] + 1e-3
+        Xd[q * 512 + 135] = Q[q] - 1e-3
+    Xj, x2 = jnp.asarray(Xd), jnp.sum(jnp.asarray(Xd) ** 2, -1)
+    idx = sp.LinscanIndex(Xj, x2)
+    kw = dict(r=14, bq=8, tile=1024, pack=True, keep=2)
+    d0, i0 = sp.search(idx, Q, k, interpret=True, premin=0, **kw)
+    monkeypatch.setattr(sp, "_PREMIN_NR", 2)   # force slot overflow
+    d1, i1 = sp.search(idx, Q, k, interpret=True, premin=1, **kw)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
