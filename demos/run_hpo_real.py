@@ -1,0 +1,56 @@
+"""Run the GP-surrogate HPO for real (VERDICT r2 item 9): budget ~20
+full train->encode->search evaluations on synthetic-corr-small at
+m=8, record the incumbent and its recall delta vs the default config.
+
+Reference anchor: `/root/reference/smac/configure.py:100-110` (SMAC
+over the same space, minimizing 1 - recall@1).
+
+    timeout 3600 python demos/run_hpo_real.py /tmp/hpo_real.log
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+LOG = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hpo_real.log"
+_log = open(LOG, "w")
+
+
+def log(*a):
+    print(*a, file=_log, flush=True)
+    print(*a, flush=True)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rayuela_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rayuela_tpu.experiments.datasets import read_dataset
+    from rayuela_tpu.experiments.hpo import (LSQConfig, default_objective,
+                                             optimize_smac)
+
+    log("devices:", jax.devices())
+    ds = read_dataset("synthetic-corr-small")
+    m, h, niter = 8, 256, 5
+    obj = default_objective(ds, m, h, niter)
+
+    t0 = time.time()
+    default_cfg = LSQConfig()
+    default_loss = obj(default_cfg)
+    log(f"default {default_cfg}: loss={default_loss:.4f} "
+        f"(recall@1={1 - default_loss:.4f}) [{time.time() - t0:.0f}s]")
+
+    t0 = time.time()
+    best_cfg, best_loss, hist = optimize_smac(obj, m, budget=20, seed=0)
+    log(f"incumbent {best_cfg}: loss={best_loss:.4f} "
+        f"(recall@1={1 - best_loss:.4f})")
+    log(f"delta vs default: {default_loss - best_loss:+.4f} recall@1 "
+        f"({time.time() - t0:.0f}s for 20 evals)")
+    log("history best-so-far:",
+        [round(min(l for _, l in hist[:i + 1]), 4)
+         for i in range(len(hist))])
+    log("DONE")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,9 +43,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rayuela_tpu.search.scan_pallas import (LANES, _apply_network,
+                                            _apply_network1,
                                             _count_below, _merge_stages,
                                             _pack_idbits,
                                             _packed_candidates,
+                                            _prered_topk, _row_key,
                                             _select_insert_packed,
                                             _select_insert_packed_staged,
                                             _sort_stages,
@@ -379,6 +381,100 @@ def _codes_decode_kernel_packed_staged(qt_ref, cflat_ref, nrm_ref,
                                  keep=keep, stage=stage)
 
 
+def _codes_decode_kernel_candidates(qt_ref, cflat_ref, nrm_ref,
+                                    codes_ref, cand_ref, disc_ref,
+                                    xt_scr, x2_scr, *, rows: int,
+                                    bq: int, m: int, h: int, n: int,
+                                    has_norms: bool, op_dtype,
+                                    idbits: int, keep: int):
+    """Two-pass decode scan, PASS 1: tile-major grid (t OUTER, qb
+    inner), so each tile decodes ONCE for the whole query set — the
+    one-level blocking (`qsuper`) still re-decoded every super-block,
+    leaving the decode matmuls ~30% of device time at protocol shapes
+    (VERDICT r2 item 2). Per (t, qb) step: distance matmul from the
+    scratch-resident decoded tile, pack keys, pre-reduce to per-lane
+    top-``keep``, and emit the (keep, LANES, bq) candidate slab plus
+    the (1, LANES, bq) discard-min row — NO running buffer, no merge;
+    pass 2 (`_cand_merge_kernel`) selects over the ~keep*ntiles/rows
+    candidate rows instead of the full base."""
+    qb = pl.program_id(1)
+
+    @pl.when(qb == 0)
+    def _():
+        Xt, x2 = _decode_x2(cflat_ref, nrm_ref, codes_ref, m=m, h=h,
+                            has_norms=has_norms, op_dtype=op_dtype)
+        xt_scr[...] = Xt
+        x2_scr[...] = x2
+
+    t = pl.program_id(0)
+    s = lax.dot_general(xt_scr[...], qt_ref[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) + x2_scr[...]
+    tile = rows * LANES
+    gid2 = t * tile + lax.broadcasted_iota(jnp.int32, (tile, bq), 0)
+    s = jnp.where(gid2 < n, s, jnp.inf)
+    kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits)
+    kv, disc_min = _prered_topk(kv, keep)
+    cand_ref[...] = kv
+    disc_ref[...] = (disc_min[None] if disc_min is not None
+                     else jnp.full((1, LANES, bq),
+                                   jnp.iinfo(jnp.int32).max, jnp.int32))
+
+
+def _cand_merge_kernel(cand_ref, disc_ref, outp_ref, bufp, dminp, sem,
+                       *, rows2: int, r: int, ntiles2: int, bq: int,
+                       keep2: int, ncand: int, ndisc: int, dr: int):
+    """Two-pass decode scan, PASS 2: running top-r over the packed
+    candidate keys pass 1 emitted (already total-order keys carrying
+    global row ids — no re-packing), plus a min-reduce of the per-tile
+    discard rows into the certificate accumulator. Pad rows beyond
+    ``ncand``/``ndisc`` are uninitialized HBM — masked to imax here."""
+    t = pl.program_id(1)
+    imax = jnp.iinfo(jnp.int32).max
+
+    @pl.when(t == 0)
+    def _():
+        bufp[:] = jnp.full(bufp.shape, imax, jnp.int32)
+        dminp[:] = jnp.full(dminp.shape, imax, jnp.int32)
+
+    kv = cand_ref[...]                               # (rows2, LANES, bq)
+    row = (t * rows2
+           + lax.broadcasted_iota(jnp.int32, (rows2, LANES, 1), 0))
+    kv = jnp.where(row < ncand, kv, imax)
+    dchunk = disc_ref[...]                           # (dr, LANES, bq)
+    drow = (t * dr
+            + lax.broadcasted_iota(jnp.int32, (dr, LANES, 1), 0))
+    dchunk = jnp.where(drow < ndisc, dchunk, imax)
+    dminp[:] = jnp.minimum(dminp[:],
+                           jnp.min(dchunk, axis=0, keepdims=True))
+
+    if keep2 and keep2 < rows2:
+        kv, disc_min = _prered_topk(kv, keep2)
+        if disc_min is not None:
+            dminp[:] = jnp.minimum(dminp[:], disc_min[None])
+        mv = jnp.concatenate([bufp[:], kv], axis=0)
+        mv = _apply_network1(mv, _merge_stages(r + keep2))
+    else:
+        kv = _apply_network1(kv, _sort_stages(rows2), descending=True)
+        mv = jnp.concatenate([bufp[:], kv], axis=0)
+        mv = _apply_network1(mv, _merge_stages(r + rows2))
+    bufp[:] = mv[:r]
+    dminp[:] = jnp.minimum(dminp[:], mv[r:r + 1])
+
+    qb = pl.program_id(0)
+
+    @pl.when(t == ntiles2 - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            bufp, outp_ref.at[:r, :, pl.ds(qb * bq, bq)], sem.at[0])
+        cpd = pltpu.make_async_copy(
+            dminp, outp_ref.at[r:, :, pl.ds(qb * bq, bq)], sem.at[1])
+        cp.start()
+        cpd.start()
+        cp.wait()
+        cpd.wait()
+
+
 def build_decode_operands(C: Array, *, pq: bool, d: int,
                           norms_cbook: Array | None = None,
                           op_dtype=jnp.bfloat16
@@ -533,6 +629,155 @@ def pallas_scan_codes_decode_topk(Q: Array, Cflat: Array, nrm: Array,
         compiler_params=cparams,
         interpret=interpret,
     )(QT, Cflat, nrm, PT)
+    kk = min(k, n)
+    if tail is None:
+        tail = not interpret
+    if tail:
+        scores, ids, tau_k = _tail_candidates_pallas(
+            outp[:r], nq, r, kk, idbits, interpret=interpret)
+    else:
+        scores, ids, tau_k = _packed_candidates(outp[:r], nq, r, kk,
+                                                idbits)
+    if not verify:
+        return scores, ids, jnp.zeros((nq,), bool)
+    flagged = jnp.any(outp[r, :, :nq] < tau_k[None, :], axis=0)
+    return scores, ids, flagged
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "pq", "r", "bq", "tile", "keep",
+                              "keep2", "rows2", "verify", "interpret",
+                              "op_dtype", "tail", "vmem_mb"))
+def pallas_scan_codes_decode_topk_2p(Q: Array, Cflat: Array, nrm: Array,
+                                     packed: Array, *, k: int, pq: bool,
+                                     r: int = 28, bq: int = 256,
+                                     tile: int = 8192, keep: int = 4,
+                                     keep2: int | None = None,
+                                     rows2: int = 32,
+                                     verify: bool = True,
+                                     interpret: bool = False,
+                                     op_dtype=jnp.bfloat16,
+                                     tail: bool | None = None,
+                                     vmem_mb: int | None = 64
+                                     ) -> tuple[Array, Array, Array]:
+    """Two-pass in-kernel-decode scan: decode each tile ONCE for the
+    whole query set.
+
+    Pass 1 (`_codes_decode_kernel_candidates`) iterates tiles on the
+    OUTER grid dim: the decoded tile lives in scratch across all query
+    blocks, so the decode matmuls cost ntiles decodes total instead of
+    ntiles * nqb/qsuper (the round-2 `qsuper` kernel's residual ~30%
+    of device time). Each step emits per-lane top-``keep`` packed
+    candidates + the discard-min row to HBM ((keep+1)/rows of the
+    score volume). Pass 2 (`_cand_merge_kernel`) runs the classic
+    running top-r selection over the candidate rows only — ~keep *
+    ntiles/rows of the base — and reduces the discard rows into the
+    same exact certificate. Same contract as
+    `pallas_scan_codes_decode_topk`: (scores ex-|q|^2, ids, flagged),
+    exact-unless-flagged for the truncated op_dtype scores."""
+    nq, d = Q.shape
+    mh, dp = Cflat.shape
+    h = nrm.shape[0]
+    m = mh // h
+    n, nw = packed.shape
+    has_norms = not pq
+    if nw != cdiv(m + (1 if has_norms else 0), 4):
+        raise ValueError(f"packed width {nw} inconsistent with m={m}")
+    if k > r * LANES:
+        raise ValueError(f"k={k} > r*128={r * LANES}")
+    rows = tile // LANES
+    if rows & (rows - 1):
+        raise ValueError(f"tile/128={rows} must be a power of two")
+    if not keep or keep & (keep - 1) or keep > rows:
+        raise ValueError(f"keep={keep} must be a power of two <= {rows}")
+    if rows2 & (rows2 - 1) or rows2 < keep:
+        raise ValueError(f"rows2={rows2} must be a power of two "
+                         f">= keep={keep}")
+    keep2 = keep if keep2 is None else keep2
+    wide2 = keep2 if (keep2 and keep2 < rows2) else rows2
+    if keep2 and (keep2 & (keep2 - 1) or keep2 > rows2):
+        raise ValueError(f"keep2={keep2} must be a power of two "
+                         f"<= {rows2}")
+    if (r + wide2) & (r + wide2 - 1):
+        raise ValueError(f"r+{wide2}={r + wide2} must be a power of two")
+
+    npad = cdiv(n, tile) * tile
+    nqp = cdiv(nq, bq) * bq
+    ntiles, nqb = npad // tile, nqp // bq
+    idbits = _pack_idbits(True, npad)
+    if not idbits:
+        raise ValueError(f"n={n} too large for packed row ids; shard")
+
+    ncand = ntiles * keep
+    ntiles2 = cdiv(ncand, rows2)
+    ncandP = ntiles2 * rows2
+    dr = cdiv(ntiles, ntiles2)
+    ndiscP = ntiles2 * dr
+
+    QT = jnp.pad(-2.0 * Q, ((0, nqp - nq), (0, dp - d))).astype(
+        op_dtype).T                                   # (dp, nqp)
+    PT = jnp.pad(packed, ((0, npad - n), (0, 0))).T   # (nw, npad)
+
+    kern1 = functools.partial(
+        _codes_decode_kernel_candidates, rows=rows, bq=bq, m=m, h=h,
+        n=n, has_norms=has_norms, op_dtype=op_dtype, idbits=idbits,
+        keep=keep)
+    cparams = (pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_mb * 1024 * 1024) if vmem_mb else None)
+    cand, disc = pl.pallas_call(
+        kern1,
+        grid=(ntiles, nqb),                # t OUTER, qb inner
+        in_specs=[
+            pl.BlockSpec((dp, bq), lambda t, qb: (0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mh, dp), lambda t, qb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, LANES), lambda t, qb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nw, tile), lambda t, qb: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((keep, LANES, bq), lambda t, qb: (t, 0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES, bq), lambda t, qb: (t, 0, qb),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ncandP, LANES, nqp), jnp.int32),
+            jax.ShapeDtypeStruct((ndiscP, LANES, nqp), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, dp), op_dtype),
+            pltpu.VMEM((tile, 1), jnp.float32),
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )(QT, Cflat, nrm, PT)
+
+    kern2 = functools.partial(
+        _cand_merge_kernel, rows2=rows2, r=r, ntiles2=ntiles2, bq=bq,
+        keep2=keep2, ncand=ncand, ndisc=ntiles, dr=dr)
+    outp = pl.pallas_call(
+        kern2,
+        grid=(nqb, ntiles2),               # qb outer, t2 inner
+        in_specs=[
+            pl.BlockSpec((rows2, LANES, bq), lambda qb, t2: (t2, 0, qb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dr, LANES, bq), lambda qb, t2: (t2, 0, qb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((r + 1, LANES, nqp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((r, LANES, bq), jnp.int32),
+            pltpu.VMEM((1, LANES, bq), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )(cand, disc)
+
     kk = min(k, n)
     if tail is None:
         tail = not interpret
@@ -873,7 +1118,8 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                  keep: int | None = None, mode: str | None = None,
                  stage: int | None = None,
                  vmem_mb: int | None = None,
-                 qsuper: int | None = None) -> tuple[Array, Array]:
+                 qsuper: int | None = None,
+                 twopass: bool | None = None) -> tuple[Array, Array]:
     """Exact top-k (for the kernel scores) over a packed-code index:
     fused kernel + XLA LUT re-scan for flagged queries. Returns true
     squared distances for PQ/additive-with-norms conventions (adds the
@@ -893,6 +1139,7 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         mode = "decode"
     ar, abq, atile, akeep, astage, aqsuper = _codes_auto_config(
         k, Q.shape[0], pack, mode, index.mprime)
+    r_explicit = r is not None
     explicit = (r is not None or keep is not None or tile is not None
                 or bq is not None)
     if stage is None:
@@ -924,6 +1171,21 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         q2 = jnp.sum(Qj * Qj, axis=-1, keepdims=True)
 
         def scan_segment(packed_seg, kseg):
+            if twopass:
+                # pass 2 FULL-SORTS its candidate windows (keep2=0):
+                # a keep2 pre-reduction there drops all but keep2 of
+                # each window's ~rows2/keep tiles' worth of candidates
+                # and the exact certificate flags the losses en masse
+                # (measured 19/64 queries vs 1/64, round 3)
+                rows2 = 16 if kseg <= 512 else 32
+                r2p = r if r_explicit else rows2       # r+rows2 pow2
+                return pallas_scan_codes_decode_topk_2p(
+                    Qj, Cf, nrm, packed_seg, k=kseg, pq=index.pq,
+                    r=r2p, bq=bq, tile=tile,
+                    keep=keep if keep else (2 if kseg <= 512 else 4),
+                    keep2=0, rows2=rows2, verify=True,
+                    interpret=interpret, op_dtype=lut_dtype,
+                    vmem_mb=vmem_mb or 64)
             return pallas_scan_codes_decode_topk(
                 Qj, Cf, nrm, packed_seg, k=kseg, pq=index.pq, r=r,
                 bq=bq, tile=tile, keep=keep if keep else 0,

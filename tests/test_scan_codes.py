@@ -471,3 +471,66 @@ def test_segmented_multiflag_exact_kernel_rescue(rng, monkeypatch):
     ids = np.asarray(di)
     for row in ids:
         assert len(set(row.tolist())) == len(row)
+
+
+def test_decode_twopass_matches_brute(rng):
+    """Two-pass decode kernel (tile-major decode-once pass + candidate
+    merge pass): true distances vs numpy, and identical ids to the
+    one-pass decode kernel when neither flags."""
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    from rayuela_tpu.search.scan_codes_pallas import (
+        build_codes_index, search_codes)
+    d, m, h, n, nq, k = 32, 4, 16, 20_000, 9, 30
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True, d=d)
+    kw = dict(interpret=True, mode="decode", lut_dtype=jnp.float32,
+              bq=8, tile=1024, keep=4)
+    d1, i1 = search_codes(idx, jnp.asarray(Q), k, r=28, **kw)
+    d2, i2 = search_codes(idx, jnp.asarray(Q), k, r=16, twopass=True,
+                          **kw)
+    Xd = np.asarray(reconstruct_pq(jnp.asarray(C), jnp.asarray(B), d))
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    ref = np.sort(D, axis=1)[:, :k]
+    np.testing.assert_allclose(np.asarray(d2), ref, rtol=3e-3,
+                               atol=3e-3)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_decode_twopass_norms_byte_and_flags(rng):
+    """Two-pass kernel with the additive norms-byte path, plus an
+    adversarial overflow (many near-ties in one lane) that must flag
+    and repair to exactness."""
+    from rayuela_tpu.ops.qerror import reconstruct
+    from rayuela_tpu.search.norms import (get_norms_codebook,
+                                          quantize_norms)
+    from rayuela_tpu.search.scan_codes_pallas import (
+        build_codes_index, search_codes)
+    d, m, h, n, k = 16, 4, 16, 4096, 24
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h)
+    best = rng.integers(0, h, m).astype(np.int32)
+    for t in range(8):
+        B[t * 128] = best             # lane-0 pileup
+    Cj, Bj = jnp.asarray(C), jnp.asarray(B)
+    Q = np.asarray(reconstruct(Cj, Bj))[0:1]
+    Q = np.concatenate([Q, rng.standard_normal((3, d)).astype(np.float32)])
+    import jax
+    key = jax.random.PRNGKey(0)
+    ncodes, ncbook = get_norms_codebook(key, Cj, Bj, h=h)
+    bcodes, _ = quantize_norms(Cj, Bj, ncbook)
+    idx = build_codes_index(Cj, Bj, pq=False, norms_cbook=ncbook,
+                            norms_codes=bcodes)
+    dv, di = search_codes(idx, jnp.asarray(Q), k, twopass=True,
+                          interpret=True, mode="decode",
+                          lut_dtype=jnp.float32, r=16, bq=4, tile=1024,
+                          keep=2)
+    # oracle: decoded scores with the QUANTIZED norms replacing |x|^2
+    Xd = np.asarray(reconstruct(Cj, Bj))
+    nt = np.asarray(ncbook).reshape(-1)[np.asarray(bcodes)]
+    S = (-2.0 * Q @ Xd.T + nt[None, :]
+         + (Q * Q).sum(1, keepdims=True))
+    picked = np.take_along_axis(S, np.asarray(di), axis=1)
+    np.testing.assert_allclose(np.asarray(dv), np.sort(S, 1)[:, :k],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(picked, np.asarray(dv), rtol=1e-4,
+                               atol=1e-3)
