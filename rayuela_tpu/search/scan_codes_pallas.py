@@ -1140,6 +1140,7 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
     ar, abq, atile, akeep, astage, aqsuper = _codes_auto_config(
         k, Q.shape[0], pack, mode, index.mprime)
     r_explicit = r is not None
+    keep_explicit = keep is not None
     explicit = (r is not None or keep is not None or tile is not None
                 or bq is not None)
     if stage is None:
@@ -1158,6 +1159,30 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         # (m16 qs4 at 48 MB runs 26% slower than at 128 MB)
         vmem_mb = 128 if qsuper > 1 else 64
     d = Q.shape[1] if index.d in (-1, None) else index.d
+    small_m = index.mprime <= 11
+    if twopass is None and mode == "decode" and not explicit \
+            and not stage and not interpret:
+        # two-pass decode-once kernel: measured best everywhere on 1x
+        # v5e (2026-08-19, /tmp/exp_2pass2.log, interleaved NQ=1e4):
+        # m8 k=1000 66.1k qps vs 43.8k classic (+51%), m8 k=100 74.9k
+        # vs 62.1k, m16 k=1000 35.9k vs 26.2k, m16 k=100 44.2k vs
+        # 36.6k. Gated on the pass-1 candidate array fitting HBM
+        # comfortably (ntiles*keepP*128*nqp*4 bytes per segment).
+        seg_n = min(index.n, _DECODE_SEG)
+        keep_est = 2 if k <= 512 else 4
+        bq_est = 512 if (small_m or k <= 512) else 256
+        nqp_est = cdiv(Q.shape[0], bq_est) * bq_est
+        cand_bytes = (cdiv(seg_n, 8192) * keep_est * LANES
+                      * nqp_est * 4)
+        # k > 4096 would need r > rows2=32 in pass 2 (unswept)
+        twopass = cand_bytes <= (3 << 30) and k <= 4096
+    if twopass:
+        bqnq = max(128, 1 << (Q.shape[0] - 1).bit_length())
+        tile = 8192 if not explicit else tile
+        bq = (min(512 if (small_m or k <= 512) else 256, bqnq)
+              if not explicit else bq)
+        if vmem_mb is None:
+            vmem_mb = 100 if bq > 256 else 64
     if mode == "decode":
         # Packed row ids span 16 bits (8.4M rows/call); bigger bases
         # run in segments with an exact host-side top-k merge — the
@@ -1179,10 +1204,11 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                 # (measured 19/64 queries vs 1/64, round 3)
                 rows2 = 16 if kseg <= 512 else 32
                 r2p = r if r_explicit else rows2       # r+rows2 pow2
+                keep_tp = (keep if keep_explicit and keep
+                           else (2 if kseg <= 512 else 4))
                 return pallas_scan_codes_decode_topk_2p(
                     Qj, Cf, nrm, packed_seg, k=kseg, pq=index.pq,
-                    r=r2p, bq=bq, tile=tile,
-                    keep=keep if keep else (2 if kseg <= 512 else 4),
+                    r=r2p, bq=bq, tile=tile, keep=keep_tp,
                     keep2=0, rows2=rows2, verify=True,
                     interpret=interpret, op_dtype=lut_dtype,
                     vmem_mb=vmem_mb or 64)
