@@ -142,7 +142,7 @@ def _route(Q: Array, C: Array, B: Array, *, k: int, pq: bool,
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
         big = Q.shape[0] >= 32 and B.shape[0] >= 1 << 14
-        backend = "pallas" if (on_tpu and big and k <= 48 * 128) else "xla"
+        backend = "pallas" if (on_tpu and big and k <= 96 * 128) else "xla"
     if backend == "pallas":
         from rayuela_tpu.search.scan_pallas import build_index, search
         idx = build_index(C, B, pq=pq, d=Q.shape[1], norm_term=norm_term)

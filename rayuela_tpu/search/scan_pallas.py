@@ -1342,7 +1342,8 @@ def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False,
         elif k <= 28 * LANES:
             r, bq, keep, stage = 28, 256, 4, 0
         else:
-            r, bq, keep, stage = 56, 128, 8, 0
+            # same under-provisioning fix as the bf16 branch below
+            r, bq, keep, stage = 96, 128, 8, 4
     else:
         # tile=8192 re-swept 2026-08-18 (/tmp/sweep_dec{,2,3}.py): with
         # the staged merge its certificate flags dropped to single
@@ -1358,8 +1359,15 @@ def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False,
         elif k <= 32 * LANES:
             r, bq, keep, stage = 32, 256, 4, 8
         else:
-            tile = 4096            # big-k branch unswept at 8192
-            r, bq, keep, stage = 56, 128, 8, 0
+            # big-k class swept 2026-08-19 (/tmp/exp_bigk2.log): the
+            # old (56, 128, 4096, 8, 0) config under-provisioned the
+            # per-lane buffer — at k=6144 the expected per-lane count
+            # is 48 (sigma ~7), so r=56 overflowed for EVERY query
+            # (4096/4096 flagged -> silent ~100x XLA fallback). r=96
+            # holds +4 sigma at k=8192: 36/4096 flags, 9.9k qps; best
+            # of {tile 4096/8192, keep 8 stage 4, keep 32 per-tile,
+            # bq 128/256} was (96, 128, 8192, 8, 4).
+            r, bq, keep, stage = 96, 128, 8, 4
     # don't pad tiny query batches up to a huge block
     bqnq = max(128, 1 << (nq - 1).bit_length())
     return r, min(bq, bqnq), tile, keep, stage, premin

@@ -550,7 +550,7 @@ def test_auto_config_valid_across_k_classes():
                     rows = tile // LANES
                     assert rows & (rows - 1) == 0
                     assert bq >= 1
-                    kmax = (56 if pack else 48) * LANES
+                    kmax = (96 if pack else 48) * LANES
                     assert k <= r * LANES or k > kmax
                     reff = rows >> premin
                     assert premin == 0 or pack
