@@ -1270,8 +1270,12 @@ def _scan_premin_inline(Q: Array, Xd: Array, x2: Array, *, k: int,
     nr = min(nr, nq)
     fli = fl.astype(jnp.int32)
     _, qidx = lax.top_k(fli, nr)             # flagged-first, distinct
+    # rescue query-block width must stay LANE-ALIGNED: the kernel's
+    # output DMA slices the minor axis at bq stride (Mosaic rejects
+    # non-128-multiples; found via nq=200 in the HPO run)
+    bq2 = min(bq, max(LANES, -(-nr // LANES) * LANES))
     d2, i2, f2 = pallas_scan_topk(
-        Q[qidx], Xd, x2, k=k, r=r, bq=min(bq, max(nr, LANES)),
+        Q[qidx], Xd, x2, k=k, r=r, bq=bq2,
         tile=tile, verify=True, interpret=interpret, pack=True,
         keep=keep, vmem_mb=vmem_mb, stage=stage, premin=0)
     sel = fl[qidx]                           # real flags among slots
