@@ -585,3 +585,23 @@ def test_premin_inline_rescue_slot_overflow(rng, monkeypatch):
     d1, i1 = sp.search(idx, Q, k, interpret=True, premin=1, **kw)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+
+
+def test_premin_inline_rescue_non_lane_aligned_nq(rng):
+    """nq=200 (not a multiple of 128) through the premin inline path:
+    the rescue's query-block width must round UP to a lane multiple
+    (Mosaic rejects bq=200 output DMA slices — found via the HPO run)
+    and results must stay exact."""
+    from rayuela_tpu.search import scan_pallas as sp
+    nq, n, d, k = 200, 20_000, 32, 10
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32) + 30.0
+    for q in range(4):
+        Xd[q * 512 + 7] = Q[q] + 1e-3
+        Xd[q * 512 + 135] = Q[q] - 1e-3
+    Xj, x2 = jnp.asarray(Xd), jnp.sum(jnp.asarray(Xd) ** 2, -1)
+    idx = sp.LinscanIndex(Xj, x2)
+    kw = dict(r=14, bq=8, tile=1024, pack=True, keep=2)
+    d0, i0 = sp.search(idx, Q, k, interpret=True, premin=0, **kw)
+    d1, i1 = sp.search(idx, Q, k, interpret=True, premin=1, **kw)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
