@@ -7,10 +7,15 @@ over the same space, minimizing 1 - recall@1).
 
     timeout 3600 python demos/run_hpo_real.py /tmp/hpo_real.log
 """
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+# some (ilsiter, icmiter) shapes overflow XLA's default 16 MB scoped
+# VMEM when it co-places the (2048, 2048) solve with kernel outputs
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_tpu_scoped_vmem_limit_kib=65536")
 LOG = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hpo_real.log"
 _log = open(LOG, "w")
 

@@ -76,11 +76,20 @@ def default_objective(ds, m: int, h: int, niter: int, seed: int = 0,
         kw = dict(niter=niter, knn=knn, verbose=False,
                   ilsiter=cfg.ilsiter, icmiter=cfg.icmiter,
                   npert=cfg.npert, randord=cfg.randord)
-        if cfg.method == "LSQ":
-            out = experiment_lsq(key, ds, m, h, **kw)
-        else:
-            out = experiment_sr(key, ds, m, h, method=cfg.method,
-                                schedule=cfg.schedule, p=cfg.p, **kw)
+        try:
+            if cfg.method == "LSQ":
+                out = experiment_lsq(key, ds, m, h, **kw)
+            else:
+                out = experiment_sr(key, ds, m, h, method=cfg.method,
+                                    schedule=cfg.schedule, p=cfg.p,
+                                    **kw)
+        except Exception as e:  # crashed run = worst loss (SMAC's
+            # convention for failed configs; e.g. an XLA scoped-vmem
+            # placement overflow at an exotic (ilsiter, icmiter) shape
+            # must not kill a 20-eval campaign)
+            print(f"[hpo] config crashed ({type(e).__name__}: "
+                  f"{str(e)[:120]}); loss=1.0")
+            return 1.0
         return float(1.0 - out["recall"][0])
 
     return objective
