@@ -63,6 +63,11 @@ _RUNMERGE = True
 # n=1e6: ~150 per 1e4 queries)
 _PREMIN_NR = 256
 
+# search() default for the qbias non-negative-score mode (|q|^2 added
+# and clamped in-kernel so the sortable-key transform is a plain
+# bitcast); same A/B-flag convention as _TOURNAMENT
+_QBIAS_DEFAULT = False
+
 
 # ---------------------------------------------------------------------------
 # Static bitonic networks (precomputed permutations + min-masks)
@@ -370,7 +375,8 @@ def _unsortable_key(k: Array) -> Array:
     return lax.bitcast_convert_type(bits, jnp.float32)
 
 
-def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int) -> Array:
+def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int,
+             nonneg: bool = False) -> Array:
     """Packed selection key for a (tile, Bq) f32 score block: the top
     32-idbits bits of the sortable value, low ``idbits`` bits the
     per-lane row id (gid = rowid*128 + lane). Keys are UNIQUE per
@@ -383,11 +389,18 @@ def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int) -> Array:
     (rows, LANES, bq) gid with two iotas and shifted the lane bits
     away, which cost ~1.5 ms per 2048 queries at k=1000 (measured
     2026-08-19, /tmp/exp_sel2.log: +2.8% qps from this change alone;
-    bit-identical outputs)."""
+    bit-identical outputs).
+
+    ``nonneg`` asserts every score is >= +0.0 (the qbias mode: the
+    kernel adds |q|^2 and clamps, so scores are true squared distances)
+    — then the plain int32 bitcast IS the sortable key and the
+    sign-fix select drops (NEXT.md lever (a): the last remaining
+    key-side op)."""
     sv = s.reshape(rows, LANES, bq)
     rid = (lax.broadcasted_iota(jnp.int32, (rows, LANES, 1), 0)
            + t * rows)
-    key = _sortable_key(sv)
+    key = (lax.bitcast_convert_type(sv, jnp.int32) if nonneg
+           else _sortable_key(sv))
     vmask = jnp.int32(-(1 << idbits))                 # low idbits zero
     return (key & vmask) | rid
 
@@ -395,7 +408,7 @@ def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int) -> Array:
 def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
                           *, rows: int, r: int, ntiles: int, bq: int,
                           idbits: int, keep: int = 0, qstart=None,
-                          premin: int = 0):
+                          premin: int = 0, nonneg: bool = False):
     """pack32 selection tail: bitonic-sort the tile rows' packed keys
     descending, merge into the per-lane running top-R key buffer, DMA
     it to HBM on the last tile.
@@ -427,7 +440,7 @@ def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
         dminp[:] = jnp.full(dminp.shape, jnp.iinfo(jnp.int32).max,
                             jnp.int32)
 
-    kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits)
+    kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits, nonneg=nonneg)
     if premin:
         kv, pm_min = _premin(kv, premin)
         dminp[:] = jnp.minimum(dminp[:], pm_min[None])
@@ -463,7 +476,7 @@ def _select_insert_packed_staged(s: Array, t, bufp, stagep, dminp, sem,
                                  outp_ref, *, rows: int, r: int,
                                  ntiles: int, bq: int, idbits: int,
                                  keep: int, stage: int,
-                                 premin: int = 0):
+                                 premin: int = 0, nonneg: bool = False):
     """Staged variant of `_select_insert_packed`: each tile still
     pre-reduces EXACTLY to its per-lane top-``keep`` (so the flag rate
     is unchanged), but the reduced keys go to a staging buffer and the
@@ -485,7 +498,7 @@ def _select_insert_packed_staged(s: Array, t, bufp, stagep, dminp, sem,
     def _():
         stagep[:] = jnp.full(stagep.shape, imax, jnp.int32)
 
-    kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits)
+    kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits, nonneg=nonneg)
     if premin:
         kv, pm_min = _premin(kv, premin)
         dminp[:] = jnp.minimum(dminp[:], pm_min[None])
@@ -538,11 +551,22 @@ def _select_insert_packed_staged(s: Array, t, bufp, stagep, dminp, sem,
         cpd.wait()
 
 
-def _distance_block(qt_ref, x_ref, x2_ref):
-    """(tile, Bq) squared distances, up to the per-query |q|^2 term."""
-    return -2.0 * lax.dot_general(
+def _distance_block(qt_ref, x_ref, x2_ref, q2_ref=None):
+    """(tile, Bq) squared distances, up to the per-query |q|^2 term.
+
+    With ``q2_ref`` ((1, bq) per-query |q|^2), the |q|^2 term IS added
+    and the result clamped at +0.0: true squared distances are
+    non-negative, but the f32 sum can round a near-zero distance
+    negative — the clamp maps those to exactly 0.0 (they are genuine
+    "query equals its reconstruction" hits; the packed rid tie-break
+    keeps the order total). Non-negative scores make the plain int32
+    bitcast order-preserving (`_row_key(nonneg=True)`)."""
+    s = -2.0 * lax.dot_general(
         x_ref[:], qt_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + x2_ref[:]
+    if q2_ref is not None:
+        s = jnp.maximum(s + q2_ref[:], 0.0)
+    return s
 
 
 def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
@@ -595,29 +619,42 @@ def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
         cpi.wait()
 
 
-def _scan_kernel_packed(qt_ref, x_ref, x2_ref, outp_ref, bufp, dminp,
-                        sem, *, rows: int, r: int, ntiles: int,
-                        bq: int, idbits: int, keep: int = 0,
-                        premin: int = 0):
-    """pack32 variant: one int32 (value|rowid) key per element."""
+def _scan_kernel_packed(qt_ref, x_ref, x2_ref, *rest, rows: int, r: int,
+                        ntiles: int, bq: int, idbits: int,
+                        keep: int = 0, premin: int = 0,
+                        qbias: bool = False):
+    """pack32 variant: one int32 (value|rowid) key per element.
+
+    ``qbias``: a fourth input ref carries per-query |q|^2; scores are
+    biased non-negative in-kernel so the key transform is a plain
+    bitcast (see `_distance_block`/`_row_key`)."""
     t = pl.program_id(1)
-    s = _distance_block(qt_ref, x_ref, x2_ref)
+    if qbias:
+        q2_ref, outp_ref, bufp, dminp, sem = rest
+    else:
+        (outp_ref, bufp, dminp, sem), q2_ref = rest, None
+    s = _distance_block(qt_ref, x_ref, x2_ref, q2_ref)
     _select_insert_packed(s, t, bufp, dminp, sem, outp_ref, rows=rows,
                           r=r, ntiles=ntiles, bq=bq, idbits=idbits,
-                          keep=keep, premin=premin)
+                          keep=keep, premin=premin, nonneg=qbias)
 
 
-def _scan_kernel_packed_staged(qt_ref, x_ref, x2_ref, outp_ref, bufp,
-                               stagep, dminp, sem, *, rows: int, r: int,
-                               ntiles: int, bq: int, idbits: int,
-                               keep: int, stage: int, premin: int = 0):
+def _scan_kernel_packed_staged(qt_ref, x_ref, x2_ref, *rest, rows: int,
+                               r: int, ntiles: int, bq: int, idbits: int,
+                               keep: int, stage: int, premin: int = 0,
+                               qbias: bool = False):
     """pack32 + staged buffer merge (see `_select_insert_packed_staged`)."""
     t = pl.program_id(1)
-    s = _distance_block(qt_ref, x_ref, x2_ref)
+    if qbias:
+        q2_ref, outp_ref, bufp, stagep, dminp, sem = rest
+    else:
+        (outp_ref, bufp, stagep, dminp, sem), q2_ref = rest, None
+    s = _distance_block(qt_ref, x_ref, x2_ref, q2_ref)
     _select_insert_packed_staged(s, t, bufp, stagep, dminp, sem,
                                  outp_ref, rows=rows, r=r,
                                  ntiles=ntiles, bq=bq, idbits=idbits,
-                                 keep=keep, stage=stage, premin=premin)
+                                 keep=keep, stage=stage, premin=premin,
+                                 nonneg=qbias)
 
 
 def _count_below(s: Array, t, tau_ref, *, rows: int, bq: int,
@@ -1006,7 +1043,7 @@ def candidate_ids(outi: Array, nq: int, r: int) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "r", "bq", "tile", "verify",
+    jax.jit, static_argnames=("qbias", "k", "r", "bq", "tile", "verify",
                               "interpret", "pack", "keep", "tail",
                               "vmem_mb", "stage", "premin"))
 def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
@@ -1016,7 +1053,8 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
                      tail: bool | None = None,
                      vmem_mb: int | None = None,
                      stage: int = 0,
-                     premin: int = 0) -> tuple[Array, Array, Array]:
+                     premin: int = 0,
+                     qbias: bool = False) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k ADC scan over a decoded base.
 
     Args:
@@ -1058,6 +1096,10 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         caught by the discard-min certificate and the query re-runs
         exactly, so the combined result is exact — this trades a small
         flag rate for ~2x less selection arithmetic at small k.
+      qbias: pack32-only — feed per-query |q|^2 into the kernel and
+        clamp scores at +0.0, so keys are a plain int32 bitcast (one
+        fewer full-size VPU op than the signed sortable transform;
+        near-zero distances clamp to exactly 0.0 and rank by row id).
 
     Returns ``(dists (nq, k), ids (nq, k), flagged (nq,) bool)``.
     Flagged queries must be re-run via the exact XLA path (done by
@@ -1122,16 +1164,24 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
     ]
     kk = min(k, n)
     q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
+    if qbias and not idbits:
+        raise ValueError("qbias requires pack=True")
 
     cparams = (pltpu.CompilerParams(
         vmem_limit_bytes=vmem_mb * 1024 * 1024)
         if vmem_mb else None)
     if idbits:
+        inputs = (QT, Xp, x2p)
+        if qbias:
+            in_specs = in_specs + [
+                pl.BlockSpec((1, bq), lambda qb, t: (0, qb),
+                             memory_space=pltpu.VMEM)]
+            inputs = inputs + (_pad2(q2.T, 1, nqp),)
         if stage:
             kern = functools.partial(
                 _scan_kernel_packed_staged, rows=rows, r=r,
                 ntiles=ntiles, bq=bq, idbits=idbits, keep=keep,
-                stage=stage, premin=premin)
+                stage=stage, premin=premin, qbias=qbias)
             scratch = [
                 pltpu.VMEM((r, LANES, bq), jnp.int32),
                 pltpu.VMEM((keep * stage, LANES, bq), jnp.int32),
@@ -1142,7 +1192,7 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
             kern = functools.partial(_scan_kernel_packed, rows=rows,
                                      r=r, ntiles=ntiles, bq=bq,
                                      idbits=idbits, keep=keep,
-                                     premin=premin)
+                                     premin=premin, qbias=qbias)
             scratch = [
                 pltpu.VMEM((r, LANES, bq), jnp.int32),
                 pltpu.VMEM((1, LANES, bq), jnp.int32),
@@ -1158,7 +1208,7 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
             scratch_shapes=scratch,
             compiler_params=cparams,
             interpret=interpret,
-        )(QT, Xp, x2p)
+        )(*inputs)
         if tail is None:
             tail = not interpret
         if tail:
@@ -1167,7 +1217,8 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         else:
             vals, ids, tau_k = _packed_candidates(outp[:r], nq, r, kk,
                                                   idbits)
-        dists = vals + q2
+        # qbias kernels already fold |q|^2 into the score
+        dists = vals if qbias else vals + q2
         if not verify:
             return dists, ids, jnp.zeros((nq,), bool)
         # In-scan EXACT certificate — no counting pass: row r is the
@@ -1236,12 +1287,12 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "interpret",
                               "keep", "vmem_mb", "stage", "premin",
-                              "nr"))
+                              "nr", "qbias"))
 def _scan_premin_inline(Q: Array, Xd: Array, x2: Array, *, k: int,
                         r: int, bq: int, tile: int, keep: int,
                         stage: int, premin: int, nr: int,
                         vmem_mb: int | None = None,
-                        interpret: bool = False
+                        interpret: bool = False, qbias: bool = False
                         ) -> tuple[Array, Array, Array]:
     """premin scan + IN-GRAPH exact-kernel rescue — one dispatch.
 
@@ -1266,7 +1317,7 @@ def _scan_premin_inline(Q: Array, Xd: Array, x2: Array, *, k: int,
     d1, i1, fl = pallas_scan_topk(
         Q, Xd, x2, k=k, r=r, bq=bq, tile=tile, verify=True,
         interpret=interpret, pack=True, keep=keep, vmem_mb=vmem_mb,
-        stage=stage, premin=premin)
+        stage=stage, premin=premin, qbias=qbias)
     nr = min(nr, nq)
     fli = fl.astype(jnp.int32)
     _, qidx = lax.top_k(fli, nr)             # flagged-first, distinct
@@ -1277,7 +1328,7 @@ def _scan_premin_inline(Q: Array, Xd: Array, x2: Array, *, k: int,
     d2, i2, f2 = pallas_scan_topk(
         Q[qidx], Xd, x2, k=k, r=r, bq=bq2,
         tile=tile, verify=True, interpret=interpret, pack=True,
-        keep=keep, vmem_mb=vmem_mb, stage=stage, premin=0)
+        keep=keep, vmem_mb=vmem_mb, stage=stage, premin=0, qbias=qbias)
     sel = fl[qidx]                           # real flags among slots
     d1 = d1.at[qidx].set(jnp.where(sel[:, None], d2, d1[qidx]))
     i1 = i1.at[qidx].set(jnp.where(sel[:, None], i2, i1[qidx]))
@@ -1382,7 +1433,8 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
            interpret: bool = False, pack: bool | None = None,
            keep: int | None = None,
            vmem_mb: int | None = None,
-           premin: int | None = None) -> tuple[Array, Array]:
+           premin: int | None = None,
+           qbias: bool | None = None) -> tuple[Array, Array]:
     """Exact top-k search: Pallas fast path + XLA re-run for any query
     the verification kernel flags (host-side check, so shapes stay
     static under jit).
@@ -1410,6 +1462,9 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     tile = atile if tile is None else tile
     keep = akeep if keep is None else keep
     premin = apremin if premin is None else premin
+    if qbias is None:
+        qbias = pack and _QBIAS_DEFAULT
+    qbias = qbias and pack
     if vmem_mb is None and (tile > 4096 or stage):
         vmem_mb = 64          # beyond the 16 MB scoped-VMEM default
     if premin and pack:
@@ -1419,12 +1474,12 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
         dists, ids, flagged = _scan_premin_inline(
             Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
             keep=keep, stage=stage, premin=premin, nr=_PREMIN_NR,
-            vmem_mb=vmem_mb, interpret=interpret)
+            vmem_mb=vmem_mb, interpret=interpret, qbias=qbias)
     else:
         dists, ids, flagged = pallas_scan_topk(
             Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
             verify=True, interpret=interpret, pack=pack, keep=keep,
-            vmem_mb=vmem_mb, stage=stage, premin=premin)
+            vmem_mb=vmem_mb, stage=stage, premin=premin, qbias=qbias)
     flagged = np.asarray(flagged)
     if flagged.any():
         from rayuela_tpu.search.linscan import exact_rescan

@@ -167,6 +167,42 @@ def test_pack32_gaussian_within_truncation(rng):
     assert (dd <= picked + 1e-3).all()
 
 
+def test_qbias_matches_brute_force(rng):
+    """qbias mode (|q|^2 folded in-kernel, scores clamped >= 0, keys a
+    plain bitcast) returns the exact top-k up to key truncation, on
+    every packed kernel variant — including planted zero-distance hits
+    (the clamp path) and the premin in-graph rescue."""
+    nq, n, d, k = 16, 3 * 2048 + 17, 32, 48
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    Xd[5], Xd[1234] = Q[0], Q[1]          # exact duplicates: dist 0
+    ref_d, _ = brute(Q, Xd, k)
+    ref_d = np.maximum(ref_d, 0.0)
+    for kw in (dict(r=16, bq=128, tile=2048, keep=2, stage=8),
+               dict(r=14, bq=128, tile=2048, keep=2),
+               dict(r=48, bq=128, tile=2048)):
+        dists, ids, flagged = run(Q, Xd, k=k, pack=True, qbias=True,
+                                  **kw)
+        ok = ~np.asarray(flagged)
+        got = np.sort(np.asarray(dists), 1)
+        np.testing.assert_allclose(got[ok], ref_d[ok], atol=2e-3)
+        assert float(np.min(np.asarray(dists))) == 0.0   # clamped hits
+        # ids score their reported truncated distances
+        D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+        picked = np.take_along_axis(D, np.asarray(ids), axis=1)
+        np.testing.assert_allclose(np.asarray(dists), picked, atol=2e-3)
+
+    from rayuela_tpu.search.scan_pallas import _scan_premin_inline
+    d2, i2, f2 = _scan_premin_inline(
+        jnp.asarray(Q), jnp.asarray(Xd),
+        jnp.sum(jnp.asarray(Xd) ** 2, -1), k=k, r=16, bq=128,
+        tile=2048, keep=2, stage=8, premin=2, nr=16, interpret=True,
+        qbias=True)
+    ok = ~np.asarray(f2)
+    np.testing.assert_allclose(np.sort(np.asarray(d2), 1)[ok],
+                               ref_d[ok], atol=2e-3)
+
+
 def test_prered_topk_equals_sorted_head(rng):
     """The discard-half reduction == per-lane full sort's smallest
     ``keep``, sorted descending, and the discard-min == the
