@@ -27,7 +27,8 @@ def main():
     import numpy as np
 
     from rayuela_tpu.search.scan_codes_pallas import (
-        build_decode_operands, pallas_scan_codes_decode_topk_2p)
+        build_decode_operands, pack_codes,
+        pallas_scan_codes_decode_topk_2p)
 
     log("devices:", jax.devices())
     N, D, H, NQ = 1_000_000, 128, 256, 10_000
@@ -36,11 +37,8 @@ def main():
 
     def make(m):
         C = jnp.asarray(rng.standard_normal((m, H, D // m)), jnp.float32)
-        B = rng.integers(0, H, size=(N, m)).astype(np.uint8)
-        nw = (m + 3) // 4
-        pad = np.zeros((N, nw * 4 - m), np.uint8)
-        packed = jnp.asarray(
-            np.concatenate([B, pad], 1).view(np.uint32).reshape(N, nw))
+        B = jnp.asarray(rng.integers(0, H, size=(N, m)), jnp.int32)
+        packed = pack_codes(B)
         Cf, nrm = build_decode_operands(C, pq=True, d=D)
         return Cf, nrm, packed
 

@@ -974,6 +974,20 @@ class CodesIndex:
         self.packed, self.mprime, self.C = packed, mprime, C
         self.pq, self.d, self.norms_cbook = pq, d, norms_cbook
         self.n = packed.shape[0]
+        self._decode_ops: dict = {}
+
+    def decode_operands(self, d: int, op_dtype):
+        """Cached `build_decode_operands` result: the flattened
+        codebooks depend only on (C, d, dtype), but rebuilding them
+        eagerly cost ~m+2 device dispatches per search call — a
+        measurable slice of the 2.2-2.4x e2e/kernel wall gap on the
+        axon tunnel (demos/bench_codes_e2e_gap.py, 2026-08-20)."""
+        key = (d, jnp.dtype(op_dtype).name)
+        if key not in self._decode_ops:
+            self._decode_ops[key] = build_decode_operands(
+                self.C, pq=self.pq, d=d, norms_cbook=self.norms_cbook,
+                op_dtype=op_dtype)
+        return self._decode_ops[key]
 
 
 def build_codes_index(C: Array, B: Array, *, pq: bool = False,
@@ -1061,6 +1075,88 @@ def _rescue_segments(Qj, Cf, nrm, index, best_s, best_i, fl_seg, bounds,
     return best_s, best_i
 
 
+# in-graph rescue slots for the fused single-segment path (cost when
+# nothing flags: one extra nr-query pass, ~nr/nq of the main scan)
+_FUSED_RESCUE_NR = 128
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "pq", "r", "bq", "tile", "keep",
+                              "rows2", "twopass", "qsuper", "stage",
+                              "op_dtype", "vmem_mb", "interpret"))
+def _scan_segment_fused(Q: Array, Cflat: Array, nrm: Array,
+                        packed: Array, *, k: int, pq: bool, r: int,
+                        bq: int, tile: int, keep: int, rows2: int,
+                        twopass: bool, qsuper: int, stage: int,
+                        op_dtype, vmem_mb: int | None,
+                        interpret: bool = False
+                        ) -> tuple[Array, Array, Array]:
+    """One-dispatch single-segment decode-mode scan: |q|^2 fold AND
+    the exact-kernel rescue of certificate-flagged queries both happen
+    in-graph, so the host does exactly one launch plus one flag sync
+    per search call. Before fusing, the eager per-call chain (operand
+    rebuild + q2 + kernel + score add + a host-side rescue dispatch
+    whenever >=1 of 1e4 queries flagged) measured 2.2-2.4x the bare
+    kernel's wall through the axon tunnel at NQ=1e4
+    (demos/bench_codes_e2e_gap.py, 2026-08-20). The in-graph rescue
+    mirrors `scan_pallas._scan_premin_inline`: up to
+    ``_FUSED_RESCUE_NR`` flagged queries re-run through the deep exact
+    kernel (keep=0 full per-tile sort, the `_rescue_segments` anchor)
+    and scatter back; the returned flag vector keeps only what remains
+    unproven (slot overflow or the rescue kernel's own flags), which
+    the host repairs as before. Returns scores WITH the +|q|^2
+    constant (true squared distances for PQ)."""
+    nq = Q.shape[0]
+    q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
+    if twopass:
+        s, i, fl = pallas_scan_codes_decode_topk_2p(
+            Q, Cflat, nrm, packed, k=k, pq=pq, r=r, bq=bq, tile=tile,
+            keep=keep, keep2=0, rows2=rows2, verify=True,
+            op_dtype=op_dtype, vmem_mb=vmem_mb, interpret=interpret)
+    else:
+        s, i, fl = pallas_scan_codes_decode_topk(
+            Q, Cflat, nrm, packed, k=k, pq=pq, r=r, bq=bq, tile=tile,
+            keep=keep, verify=True, op_dtype=op_dtype, stage=stage,
+            vmem_mb=vmem_mb, qsuper=qsuper, interpret=interpret)
+    if k > _RESCUE_R * LANES:
+        return s + q2, i, fl      # beyond the rescue buffer: host path
+    nr = min(_FUSED_RESCUE_NR, nq)
+    fli = fl.astype(jnp.int32)
+    _, qidx = lax.top_k(fli, nr)             # flagged-first, distinct
+    # rescue query-block width must stay LANE-ALIGNED (Mosaic rejects
+    # non-128-multiple minor-axis DMA strides)
+    bq2 = max(LANES, -(-nr // LANES) * LANES)
+    s2, i2, f2 = pallas_scan_codes_decode_topk(
+        Q[qidx], Cflat, nrm, packed, k=k, pq=pq, r=_RESCUE_R, bq=bq2,
+        tile=_RESCUE_TILE, keep=0, verify=True, op_dtype=op_dtype,
+        interpret=interpret)
+    sel = fl[qidx]                           # real flags among slots
+    s = s.at[qidx].set(jnp.where(sel[:, None], s2, s[qidx]))
+    i = i.at[qidx].set(jnp.where(sel[:, None], i2, i[qidx]))
+    rescued = jnp.zeros((nq,), bool).at[qidx].set(sel & ~f2)
+    return s + q2, i, fl & ~rescued
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "pq", "d", "r", "bq", "tile",
+                              "keep", "pack", "lut_dtype", "has_norms"))
+def _scan_lut_fused(Q: Array, C: Array, nc: Array, packed: Array, *,
+                    k: int, pq: bool, d: int, r: int, bq: int,
+                    tile: int, keep: int, pack: bool, lut_dtype,
+                    has_norms: bool) -> tuple[Array, Array, Array]:
+    """One-dispatch LUT-mode scan: table build + kernel + |q|^2 add
+    fused into a single launch (same tunnel-overhead rationale as
+    `_scan_segment_fused`). ``nc`` is the quantized-norms codebook or
+    an empty placeholder when ``has_norms`` is False."""
+    q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
+    T = build_luts(C, Q, pq=pq, d=d,
+                   norms_cbook=nc if has_norms else None)
+    s, i, fl = pallas_scan_codes_topk(
+        T, packed, k=k, r=r, bq=bq, tile=tile, verify=True,
+        lut_dtype=lut_dtype, pack=pack, keep=keep)
+    return s + q2, i, fl
+
+
 def _codes_auto_config(k: int, nq: int, pack: bool, mode: str,
                        mprime: int | None = None):
     """Measured-best (r, bq, tile, keep, stage, qsuper) for the
@@ -1133,6 +1229,17 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
     beyond the packed-id range). ``r``/``bq``/``tile``/``keep``
     default to the measured-best configuration per mode
     (`_codes_auto_config`)."""
+    k = min(k, index.n)       # never return padded (inf, fake-id) rows
+    d = Q.shape[1] if index.d in (-1, None) else index.d
+    if k > 96 * LANES and r is None:
+        # beyond any kernel config's per-lane buffer: exact XLA LUT
+        # scan (out-of-protocol regime — the reference caps at 1000)
+        Qj = jnp.asarray(Q)
+        T = build_luts(index.C, Qj, pq=index.pq, d=d,
+                       norms_cbook=index.norms_cbook)
+        s, i = xla_lut_scan(T, unpack_codes(index.packed, index.mprime),
+                            k, lut_dtype=lut_dtype)
+        return s + jnp.sum(Qj * Qj, axis=-1, keepdims=True), i
     if pack is None:
         pack = not interpret
     if mode is None:
@@ -1158,7 +1265,6 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         # (qsuper, r, 128, bq) wants headroom for DMA overlap too
         # (m16 qs4 at 48 MB runs 26% slower than at 128 MB)
         vmem_mb = 128 if qsuper > 1 else 64
-    d = Q.shape[1] if index.d in (-1, None) else index.d
     small_m = index.mprime <= 11
     if twopass is None and mode == "decode" and not explicit \
             and not stage and not interpret:
@@ -1189,11 +1295,13 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         # single-chip analogue of the reference's nsplits tiling, at
         # code-resident memory (no decode ever materializes).
         seg = _DECODE_SEG
-        Cf, nrm = build_decode_operands(
-            index.C, pq=index.pq, d=d, norms_cbook=index.norms_cbook,
-            op_dtype=lut_dtype)
+        Cf, nrm = index.decode_operands(d, lut_dtype)
         Qj = jnp.asarray(Q)
-        q2 = jnp.sum(Qj * Qj, axis=-1, keepdims=True)
+
+        def q2f():
+            # |q|^2 only materializes off the fused fast path (the
+            # fused kernels fold it in-graph)
+            return jnp.sum(Qj * Qj, axis=-1, keepdims=True)
 
         def scan_segment(packed_seg, kseg):
             if twopass:
@@ -1201,7 +1309,16 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                 # a keep2 pre-reduction there drops all but keep2 of
                 # each window's ~rows2/keep tiles' worth of candidates
                 # and the exact certificate flags the losses en masse
-                # (measured 19/64 queries vs 1/64, round 3)
+                # (measured 19/64 queries vs 1/64, round 3).
+                # rows2 x bq x keep swept on 1x v5e 2026-08-20
+                # (demos/bench_2pass_tune.py, NQ=1e4): these defaults
+                # are the best CLEAN configs in all four classes —
+                # kernel-level m8 k=1000 112k qps (flags 1), m8 k=100
+                # 147k (flags 16), m16 k=1000 103k (flags 3), m16
+                # k=100 118k (flags 5). keep=2 at k=1000 runs 119-132k
+                # but flags ~46% of queries (per-tile top-2*128 can't
+                # hold 1000); rows2=64 collapses (27k — pass-2 windows
+                # exceed VREGs); bq swings are noise-level (<5%).
                 rows2 = 16 if kseg <= 512 else 32
                 r2p = r if r_explicit else rows2       # r+rows2 pow2
                 keep_tp = (keep if keep_explicit and keep
@@ -1240,10 +1357,41 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                     bi = jnp.take_along_axis(ci, loc, axis=1)
             return bs, bi
 
+        if index.n <= seg and not interpret:
+            # ONE fused dispatch (q2 folded in-graph) + ONE flag sync;
+            # results stay ON DEVICE (an early version pulled the full
+            # (nq, k) arrays through the axon tunnel per call: 13x
+            # slower e2e; an eager q2/score-add chain cost another
+            # 2.2-2.4x — demos/bench_codes_e2e_gap.py)
+            if twopass:
+                rows2 = 16 if k <= 512 else 32
+                sq, i, fl = _scan_segment_fused(
+                    Qj, Cf, nrm, index.packed, k=k, pq=index.pq,
+                    r=r if r_explicit else rows2, bq=bq, tile=tile,
+                    keep=(keep if keep_explicit and keep
+                          else (2 if k <= 512 else 4)),
+                    rows2=rows2, twopass=True, qsuper=1, stage=0,
+                    op_dtype=lut_dtype, vmem_mb=vmem_mb or 64)
+            else:
+                sq, i, fl = _scan_segment_fused(
+                    Qj, Cf, nrm, index.packed, k=k, pq=index.pq,
+                    r=r, bq=bq, tile=tile, keep=keep if keep else 0,
+                    rows2=0, twopass=False, qsuper=qsuper,
+                    stage=stage, op_dtype=lut_dtype, vmem_mb=vmem_mb)
+            fl = np.asarray(fl)
+            if fl.any():
+                # rescue merges q2-less per-segment lists; unflagged
+                # rows may wobble 1 ulp from the (sq-q2)+q2 round trip
+                # (scores are op_dtype-truncated anyway)
+                q2 = q2f()
+                s, i = _rescue_segments(
+                    Qj, Cf, nrm, index, sq - q2, i, fl[None],
+                    [(0, index.n)], min(k, index.n),
+                    lut_dtype=lut_dtype, interpret=interpret,
+                    lut_rescan=lut_rescan)
+                return s + q2, i
+            return sq, i
         if index.n <= seg:
-            # results stay ON DEVICE — only the (nq,) flag vector syncs
-            # to host (an early version pulled the full (nq, k) arrays
-            # through the axon tunnel per call: 13x slower e2e)
             s, i, fl = scan_segment(index.packed, k)
             fl = np.asarray(fl)
             if fl.any():
@@ -1252,7 +1400,7 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                     [(0, index.n)], min(k, index.n),
                     lut_dtype=lut_dtype, interpret=interpret,
                     lut_rescan=lut_rescan)
-            return s + q2, i
+            return s + q2f(), i
 
         # Segmented path: flag checks are DEFERRED so there is exactly
         # ONE host sync per call, not one per segment (120 segments x
@@ -1319,7 +1467,26 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                 Qj, Cf, nrm, index, best_s, best_i, fl_seg, bounds, k,
                 lut_dtype=lut_dtype, interpret=interpret,
                 lut_rescan=lut_rescan)
-        return best_s + q2, best_i
+        return best_s + q2f(), best_i
+    elif not interpret:
+        nc = (index.norms_cbook if index.norms_cbook is not None
+              else jnp.zeros((0,), jnp.float32))
+        sq, ids, flagged = _scan_lut_fused(
+            jnp.asarray(Q), index.C, nc, index.packed, k=k, pq=index.pq,
+            d=d, r=r, bq=bq, tile=tile, keep=keep, pack=pack,
+            lut_dtype=lut_dtype, has_norms=index.norms_cbook is not None)
+        flagged = np.asarray(flagged)
+        if flagged.any():
+            q2 = jnp.sum(jnp.asarray(Q) ** 2, axis=-1, keepdims=True)
+            qidx = np.nonzero(flagged)[0]
+            Tf = build_luts(index.C, jnp.asarray(Q)[qidx], pq=index.pq,
+                            d=d, norms_cbook=index.norms_cbook)
+            s2, i2 = xla_lut_scan(
+                Tf, unpack_codes(index.packed, index.mprime),
+                min(k, index.n), lut_dtype=lut_dtype)
+            sq = sq.at[qidx].set(s2 + q2[qidx])
+            ids = ids.at[qidx].set(i2)
+        return sq, ids
     else:
         T = build_luts(index.C, Q, pq=index.pq, d=d,
                        norms_cbook=index.norms_cbook)

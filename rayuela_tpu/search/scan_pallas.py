@@ -1448,6 +1448,13 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     into one int32 selection key — less selection work and half the
     buffer VMEM; the result is the exact top-k of the truncated scores
     (see `pallas_scan_topk`)."""
+    k = min(k, index.n)       # never return padded (inf, fake-id) rows
+    if k > 96 * LANES and r is None:
+        # beyond the deepest swept kernel config's buffer (r=96): the
+        # exact XLA path handles any k <= n (out-of-protocol regime —
+        # the reference caps at knn=1000)
+        from rayuela_tpu.search.linscan import exact_rescan
+        return exact_rescan(Q, index.Xd, index.x2, k=k)
     if pack is None:
         pack = not interpret
     ar, abq, atile, akeep, astage, apremin = _auto_config(

@@ -534,3 +534,81 @@ def test_decode_twopass_norms_byte_and_flags(rng):
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(picked, np.asarray(dv), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_fused_inline_rescue_repairs_in_graph(rng):
+    """The fused single-segment wrapper rescues certificate-flagged
+    queries IN-GRAPH (one dispatch; mirrors
+    scan_pallas._scan_premin_inline): the residual flag vector must be
+    all-False and the results exact, for a pileup the bare kernel
+    provably flags."""
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    from rayuela_tpu.search.scan_codes_pallas import (
+        _scan_segment_fused, build_codes_index,
+        pallas_scan_codes_decode_topk)
+    d, m, h, n, k = 16, 4, 16, 2048, 32
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    best = rng.integers(0, h, m).astype(np.int32)
+    for t in range(16):
+        B[t * 128] = best             # lane-0 pileup for q0
+    Q = np.asarray(reconstruct_pq(C, B, d))[0:1] + 0.0
+    Q = np.concatenate([Q, rng.standard_normal((3, d)).astype(np.float32)])
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True, d=d)
+    Cf, nrm = idx.decode_operands(d, jnp.float32)
+    kw = dict(k=k, pq=True, r=8, bq=4, tile=1024, keep=0)
+    # the bare kernel at this shallow config must flag the pileup...
+    _, _, fl0 = pallas_scan_codes_decode_topk(
+        jnp.asarray(Q), Cf, nrm, idx.packed, verify=True,
+        interpret=True, op_dtype=jnp.float32, **kw)
+    assert np.asarray(fl0).any()
+    # ...and the fused wrapper must repair it in-graph
+    sq, di, fl = _scan_segment_fused(
+        jnp.asarray(Q), Cf, nrm, idx.packed, rows2=0, twopass=False,
+        qsuper=1, stage=0, op_dtype=jnp.float32, vmem_mb=None,
+        interpret=True, **kw)
+    assert not np.asarray(fl).any()
+    Xd = np.asarray(reconstruct_pq(C, B, d))
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(sq), np.sort(D, 1)[:, :k],
+                               rtol=1e-4, atol=1e-3)
+    picked = np.take_along_axis(D, np.asarray(di), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(sq), rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_k_exceeding_n_and_buffer_capacity_clamps(rng):
+    """k > n must clamp to n, and k beyond the deepest kernel buffer
+    (96*128) must fall back to the exact XLA scan instead of raising
+    (verify-skill probe; the reference protocol caps at knn=1000)."""
+    from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
+                                                      search_codes)
+    d, m, h, n = 16, 4, 16, 500
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = jnp.asarray(rng.standard_normal((3, d)).astype(np.float32))
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True, d=d)
+    dv, di = search_codes(idx, Q, n + 50, interpret=True,
+                          lut_dtype=jnp.float32)
+    assert dv.shape == (3, n) and di.shape == (3, n)
+    assert np.isfinite(np.asarray(dv)).all()
+    assert (np.asarray(di) >= 0).all() and (np.asarray(di) < n).all()
+    # every row id exactly once (the full ranking of the base)
+    assert all(len(set(row)) == n for row in np.asarray(di))
+
+
+def test_k_beyond_kernel_buffer_uses_xla_fallback(rng):
+    """n large enough that min(k, n) still exceeds 96*128: the XLA
+    fallback must produce the exact ranking prefix."""
+    from rayuela_tpu.search.scan_codes_pallas import (build_codes_index,
+                                                      search_codes)
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    d, m, h, n, k = 8, 2, 8, 13_000, 12_500
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = jnp.asarray(rng.standard_normal((2, d)).astype(np.float32))
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True, d=d)
+    dv, di = search_codes(idx, Q, k, interpret=True,
+                          lut_dtype=jnp.float32)
+    assert dv.shape == (2, k)
+    Xd = np.asarray(reconstruct_pq(C, B, d))
+    D = ((np.asarray(Q)[:, None, :] - Xd[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(dv), np.sort(D, 1)[:, :k],
+                               rtol=1e-4, atol=1e-3)

@@ -641,3 +641,18 @@ def test_premin_inline_rescue_non_lane_aligned_nq(rng):
     d0, i0 = sp.search(idx, Q, k, interpret=True, premin=0, **kw)
     d1, i1 = sp.search(idx, Q, k, interpret=True, premin=1, **kw)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
+
+def test_decoded_search_k_exceeding_n_clamps(rng):
+    """Decoded-path front-end: k > n clamps to n; k beyond the deepest
+    kernel buffer falls back to the exact XLA rescan (verify probe)."""
+    from rayuela_tpu.search.scan_pallas import build_index, search
+    d, m, h, n = 16, 4, 16, 400
+    C = jnp.asarray(rng.standard_normal((m, h, d // m)).astype(np.float32))
+    B = jnp.asarray(rng.integers(0, h, size=(n, m)), jnp.int32)
+    Q = jnp.asarray(rng.standard_normal((3, d)).astype(np.float32))
+    idx = build_index(C, B, pq=True, d=d)
+    dv, di = search(idx, Q, n + 99, interpret=True)
+    assert dv.shape == (3, n) and di.shape == (3, n)
+    assert np.isfinite(np.asarray(dv)).all()
+    assert (np.asarray(di) >= 0).all() and (np.asarray(di) < n).all()
