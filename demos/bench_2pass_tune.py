@@ -72,8 +72,12 @@ def main():
                 cands.add((cur_rows2, cur_bq, keep))
         cands = sorted(cands)
         best = {}
+        failed = set()   # don't mutate cands mid-rep: surviving
+        # configs would silently lose a best-of-3 rep (ADVICE r3)
         for rep in range(3):
             for cfg in cands:
+                if cfg in failed:
+                    continue
                 rows2, bq, keep = cfg
                 vmem = 100 if bq > 256 else 64
                 try:
@@ -81,8 +85,8 @@ def main():
                 except Exception as e:
                     log(f"m{m} k{k} rows2={rows2} bq={bq} keep={keep}: "
                         f"FAIL {type(e).__name__}: {str(e)[:90]}")
-                    cands.remove(cfg)
-                    break
+                    failed.add(cfg)
+                    continue
                 prev = best.get(cfg, (1e9, 0))
                 best[cfg] = (min(prev[0], dt), nfl)
                 log(f"m{m} k{k} rows2={rows2} bq={bq} keep={keep} "

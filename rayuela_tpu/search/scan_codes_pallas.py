@@ -1075,6 +1075,39 @@ def _rescue_segments(Qj, Cf, nrm, index, best_s, best_i, fl_seg, bounds,
     return best_s, best_i
 
 
+def _xla_lut_scan_tiled(index: "CodesIndex", Qj: Array, k: int, d: int,
+                        lut_dtype, qblock: int = 128,
+                        seg: int = 1 << 19) -> tuple[Array, Array]:
+    """Exact XLA LUT oracle over the whole base, tiled over query
+    blocks x base segments with an exact top-k merge, so the per-call
+    (qblock, seg) score matrix and its (qblock, seg, m') gather
+    intermediate stay ~2 GB instead of scaling with nq*n. Scores
+    exclude the +|q|^2 constant (callers add it)."""
+    nq = Qj.shape[0]
+    out_s, out_i = [], []
+    for q0 in range(0, nq, qblock):
+        Tq = build_luts(index.C, Qj[q0:q0 + qblock], pq=index.pq, d=d,
+                        norms_cbook=index.norms_cbook)
+        bs = bi = None
+        for st in range(0, index.n, seg):
+            stop = min(st + seg, index.n)
+            s2, i2 = xla_lut_scan(
+                Tq, unpack_codes(index.packed[st:stop], index.mprime),
+                min(k, stop - st), lut_dtype=lut_dtype)
+            i2 = i2 + st
+            if bs is None:
+                bs, bi = s2, i2
+            else:
+                cs = jnp.concatenate([bs, s2], axis=1)
+                ci = jnp.concatenate([bi, i2], axis=1)
+                neg, loc = lax.top_k(-cs, min(k, cs.shape[1]))
+                bs = -neg
+                bi = jnp.take_along_axis(ci, loc, axis=1)
+        out_s.append(bs)
+        out_i.append(bi)
+    return jnp.concatenate(out_s, 0), jnp.concatenate(out_i, 0)
+
+
 # in-graph rescue slots for the fused single-segment path (cost when
 # nothing flags: one extra nr-query pass, ~nr/nq of the main scan)
 _FUSED_RESCUE_NR = 128
@@ -1103,9 +1136,12 @@ def _scan_segment_fused(Q: Array, Cflat: Array, nrm: Array,
     ``_FUSED_RESCUE_NR`` flagged queries re-run through the deep exact
     kernel (keep=0 full per-tile sort, the `_rescue_segments` anchor)
     and scatter back; the returned flag vector keeps only what remains
-    unproven (slot overflow or the rescue kernel's own flags), which
-    the host repairs as before. Returns scores WITH the +|q|^2
-    constant (true squared distances for PQ)."""
+    unproven, which the host repairs. A second ``hard`` mask marks the
+    queries whose RESCUE kernel itself flagged: re-running them through
+    `_rescue_segments` (same r=48/keep=0/tile config) would
+    deterministically flag again and waste a full-base kernel pass, so
+    the host sends them straight to the XLA LUT oracle. Returns scores
+    WITH the +|q|^2 constant (true squared distances for PQ)."""
     nq = Q.shape[0]
     q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
     if twopass:
@@ -1119,7 +1155,8 @@ def _scan_segment_fused(Q: Array, Cflat: Array, nrm: Array,
             keep=keep, verify=True, op_dtype=op_dtype, stage=stage,
             vmem_mb=vmem_mb, qsuper=qsuper, interpret=interpret)
     if k > _RESCUE_R * LANES:
-        return s + q2, i, fl      # beyond the rescue buffer: host path
+        # beyond the rescue buffer: host path (nothing rescue-flagged)
+        return s + q2, i, fl, jnp.zeros_like(fl)
     nr = min(_FUSED_RESCUE_NR, nq)
     fli = fl.astype(jnp.int32)
     _, qidx = lax.top_k(fli, nr)             # flagged-first, distinct
@@ -1134,7 +1171,8 @@ def _scan_segment_fused(Q: Array, Cflat: Array, nrm: Array,
     s = s.at[qidx].set(jnp.where(sel[:, None], s2, s[qidx]))
     i = i.at[qidx].set(jnp.where(sel[:, None], i2, i[qidx]))
     rescued = jnp.zeros((nq,), bool).at[qidx].set(sel & ~f2)
-    return s + q2, i, fl & ~rescued
+    hard = jnp.zeros((nq,), bool).at[qidx].set(sel & f2)
+    return s + q2, i, fl & ~rescued, hard
 
 
 @functools.partial(
@@ -1233,12 +1271,12 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
     d = Q.shape[1] if index.d in (-1, None) else index.d
     if k > 96 * LANES and r is None:
         # beyond any kernel config's per-lane buffer: exact XLA LUT
-        # scan (out-of-protocol regime — the reference caps at 1000)
+        # scan (out-of-protocol regime — the reference caps at 1000).
+        # Tiled over query blocks x base segments: one monolithic
+        # xla_lut_scan materializes an (nq, n) score matrix plus an
+        # (nq, n, m') gather intermediate — OOM at nq=1e4, n>=1e6.
         Qj = jnp.asarray(Q)
-        T = build_luts(index.C, Qj, pq=index.pq, d=d,
-                       norms_cbook=index.norms_cbook)
-        s, i = xla_lut_scan(T, unpack_codes(index.packed, index.mprime),
-                            k, lut_dtype=lut_dtype)
+        s, i = _xla_lut_scan_tiled(index, Qj, k, d, lut_dtype)
         return s + jnp.sum(Qj * Qj, axis=-1, keepdims=True), i
     if pack is None:
         pack = not interpret
@@ -1365,7 +1403,7 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
             # 2.2-2.4x — demos/bench_codes_e2e_gap.py)
             if twopass:
                 rows2 = 16 if k <= 512 else 32
-                sq, i, fl = _scan_segment_fused(
+                sq, i, fl, hard = _scan_segment_fused(
                     Qj, Cf, nrm, index.packed, k=k, pq=index.pq,
                     r=r if r_explicit else rows2, bq=bq, tile=tile,
                     keep=(keep if keep_explicit and keep
@@ -1373,7 +1411,7 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                     rows2=rows2, twopass=True, qsuper=1, stage=0,
                     op_dtype=lut_dtype, vmem_mb=vmem_mb or 64)
             else:
-                sq, i, fl = _scan_segment_fused(
+                sq, i, fl, hard = _scan_segment_fused(
                     Qj, Cf, nrm, index.packed, k=k, pq=index.pq,
                     r=r, bq=bq, tile=tile, keep=keep if keep else 0,
                     rows2=0, twopass=False, qsuper=qsuper,
@@ -1383,12 +1421,27 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                 # rescue merges q2-less per-segment lists; unflagged
                 # rows may wobble 1 ulp from the (sq-q2)+q2 round trip
                 # (scores are op_dtype-truncated anyway)
+                hard = np.asarray(hard)
                 q2 = q2f()
-                s, i = _rescue_segments(
-                    Qj, Cf, nrm, index, sq - q2, i, fl[None],
-                    [(0, index.n)], min(k, index.n),
-                    lut_dtype=lut_dtype, interpret=interpret,
-                    lut_rescan=lut_rescan)
+                s = sq - q2
+                soft = fl & ~hard
+                if soft.any():
+                    # slot-overflow queries: the deep rescue kernel
+                    # has not seen them yet — run it host-side
+                    s, i = _rescue_segments(
+                        Qj, Cf, nrm, index, s, i, soft[None],
+                        [(0, index.n)], min(k, index.n),
+                        lut_dtype=lut_dtype, interpret=interpret,
+                        lut_rescan=lut_rescan)
+                if hard.any():
+                    # rescue-kernel-flagged queries: the same config
+                    # would deterministically flag again — straight to
+                    # the XLA LUT oracle (ADVICE r3)
+                    qidx = np.nonzero(hard)[0]
+                    s2, i2 = lut_rescan(qidx, [(0, index.n)],
+                                        lambda a, b: min(k, b - a))
+                    s = s.at[qidx].set(s2)
+                    i = i.at[qidx].set(i2)
                 return s + q2, i
             return sq, i
         if index.n <= seg:

@@ -562,11 +562,12 @@ def test_fused_inline_rescue_repairs_in_graph(rng):
         interpret=True, op_dtype=jnp.float32, **kw)
     assert np.asarray(fl0).any()
     # ...and the fused wrapper must repair it in-graph
-    sq, di, fl = _scan_segment_fused(
+    sq, di, fl, hard = _scan_segment_fused(
         jnp.asarray(Q), Cf, nrm, idx.packed, rows2=0, twopass=False,
         qsuper=1, stage=0, op_dtype=jnp.float32, vmem_mb=None,
         interpret=True, **kw)
     assert not np.asarray(fl).any()
+    assert not np.asarray(hard).any()
     Xd = np.asarray(reconstruct_pq(C, B, d))
     D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
     np.testing.assert_allclose(np.asarray(sq), np.sort(D, 1)[:, :k],
@@ -612,3 +613,34 @@ def test_k_beyond_kernel_buffer_uses_xla_fallback(rng):
     D = ((np.asarray(Q)[:, None, :] - Xd[None]) ** 2).sum(-1)
     np.testing.assert_allclose(np.asarray(dv), np.sort(D, 1)[:, :k],
                                rtol=1e-4, atol=1e-3)
+
+
+def test_xla_fallback_tiles_query_and_base(rng):
+    """The big-k XLA oracle must tile over query blocks AND base
+    segments with an exact top-k merge (a monolithic xla_lut_scan
+    materializes (nq, n, m') and OOMs at protocol scale — ADVICE r3);
+    force multiple tiles on both axes and check against the
+    single-call oracle."""
+    from rayuela_tpu.search.scan_codes_pallas import (
+        _xla_lut_scan_tiled, build_codes_index, build_luts,
+        unpack_codes, xla_lut_scan)
+    d, m, h, n, k = 8, 2, 8, 1_000, 700
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = jnp.asarray(rng.standard_normal((5, d)).astype(np.float32))
+    idx = build_codes_index(jnp.asarray(C), jnp.asarray(B), pq=True, d=d)
+    s, i = _xla_lut_scan_tiled(idx, Q, k, d, jnp.float32,
+                               qblock=2, seg=300)
+    T = build_luts(idx.C, Q, pq=True, d=d)
+    s0, i0 = xla_lut_scan(T, unpack_codes(idx.packed, m), k,
+                          lut_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s0),
+                               rtol=1e-5, atol=1e-5)
+    # ids may differ on exact score ties; each returned id's true
+    # score must equal the returned score
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    Xd = np.asarray(reconstruct_pq(C, B, d))
+    Dfull = ((np.asarray(Q)[:, None, :] - Xd[None]) ** 2).sum(-1)
+    q2 = (np.asarray(Q) ** 2).sum(1, keepdims=True)
+    picked = np.take_along_axis(Dfull, np.asarray(i), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(s) + q2,
+                               rtol=1e-4, atol=1e-4)
