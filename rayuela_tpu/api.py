@@ -57,9 +57,19 @@ class MCQIndex:
 
 
 def train(Xt, method: str = "sr_d", m: int = 8, h: int = 256,
-          niter: int = 25, key=None, **kw) -> MCQModel:
+          niter: int = 25, key=None, mesh=None, **kw) -> MCQModel:
     """Train any MCQ method with the reference pipeline semantics
-    (staged OPQ → ChainQ init for the LSQ family)."""
+    (staged OPQ → ChainQ init for the LSQ family).
+
+    Pass ``mesh`` (a `rayuela_tpu.parallel.mesh.make_mesh` result) to
+    train data-parallel across the mesh's chips: ChainQ and the LSQ
+    family route to the explicit `shard_map` steps in
+    `rayuela_tpu.parallel` (psum'd normal-equation stats + replicated
+    solves, per-shard Viterbi/ICM encoding — the TPU mapping of the
+    reference's Distributed-worker farm, `src/Rayuela.jl:10,31`); the
+    remaining methods run with ``Xt`` sharded over the ``data`` axis so
+    GSPMD inserts the collectives for their matmul/reduction training
+    statistics."""
     from rayuela_tpu import models as M
 
     method = method.lower()
@@ -67,6 +77,12 @@ def train(Xt, method: str = "sr_d", m: int = 8, h: int = 256,
         raise ValueError(f"unknown method {method!r}; one of {METHODS}")
     key = jax.random.PRNGKey(0) if key is None else key
     Xt = jnp.asarray(Xt)
+    if mesh is not None:
+        if method in ("chainq", "lsq", "sr_c", "sr_d"):
+            return _train_sharded(mesh, key, Xt, method, m, h, niter,
+                                  **kw)
+        from rayuela_tpu.parallel.mesh import shard_data
+        Xt = shard_data(mesh, Xt)
 
     if method == "pq":
         model, B, _ = M.train_pq(key, Xt, m, h, iters=niter, **kw)
@@ -102,6 +118,31 @@ def train(Xt, method: str = "sr_d", m: int = 8, h: int = 256,
     else:
         model, B, _ = M.train_sr(key, Xt, B1, cq.R, h=h, niter=niter,
                                  method=method.upper(), **kw)
+    return MCQModel(method, model.codebooks, h=h, train_codes=B)
+
+
+def _train_sharded(mesh, key, Xt, method: str, m: int, h: int,
+                   niter: int, **kw) -> MCQModel:
+    """mesh= path of `train` for ChainQ and the LSQ family: staged
+    OPQ (GSPMD-sharded) → sharded ChainQ → sharded LSQ/SR steps."""
+    from rayuela_tpu import models as M
+    from rayuela_tpu.parallel.chainq_sharded import train_chainq_sharded
+    from rayuela_tpu.parallel.lsq_sharded import train_lsq_family_sharded
+    from rayuela_tpu.parallel.mesh import shard_data
+
+    opq, B0, _ = M.train_opq(key, shard_data(mesh, Xt), m, h,
+                             niter=niter)
+    if method == "chainq":
+        model, B, _ = train_chainq_sharded(mesh, Xt, B0, opq.R, h=h,
+                                           niter=niter, **kw)
+        return MCQModel("chainq", model.codebooks, R=model.R, h=h,
+                        train_codes=B)
+    cqm, B1, _ = train_chainq_sharded(mesh, Xt, B0, opq.R, h=h,
+                                      niter=niter)
+    name = {"lsq": "LSQ", "sr_c": "SR_C", "sr_d": "SR_D"}[method]
+    model, B, _ = train_lsq_family_sharded(mesh, key, Xt, B1, cqm.R,
+                                           h=h, niter=niter,
+                                           method=name, **kw)
     return MCQModel(method, model.codebooks, h=h, train_codes=B)
 
 

@@ -127,17 +127,30 @@ def experiment_ervq(key, ds: Dataset, m: int = 7, h: int = 256,
 def experiment_chainq(key, ds: Dataset, m: int = 7, h: int = 256,
                       niter: int = 25, knn: int = 1000,
                       verbose: bool = True, store: str | None = None,
-                      trial: int = 0, opq_init=None):
+                      trial: int = 0, opq_init=None, mesh=None):
     """ChainQ end-to-end (exported-but-undefined in the reference;
     defined here per SURVEY.md §2.6). OPQ init per
-    `demos/demos_train_query_base.jl:52-58`."""
+    `demos/demos_train_query_base.jl:52-58`. With ``mesh``, training
+    and the base Viterbi encode run data-parallel
+    (`parallel.chainq_sharded`; reference worker farm
+    `src/ChainQ.jl:334-344`)."""
     if opq_init is None:
         opq_model, B_opq, _ = train_opq(key, jnp.asarray(ds.Xt), m, h,
                                         niter=niter)
         opq_init = (B_opq, opq_model.R)
-    model, B, obj = train_chainq(jnp.asarray(ds.Xt), opq_init[0],
-                                 opq_init[1], h=h, niter=niter)
-    Bb = quantize_chainq(model, jnp.asarray(ds.Xb))
+    if mesh is not None:
+        from rayuela_tpu.parallel.chainq_sharded import (
+            sharded_viterbi_encode, train_chainq_sharded)
+        model, B, obj = train_chainq_sharded(
+            mesh, jnp.asarray(ds.Xt), opq_init[0], opq_init[1], h=h,
+            niter=niter)
+        RXb = jnp.matmul(jnp.asarray(ds.Xb), model.R,
+                         preferred_element_type=jnp.float32)
+        Bb = sharded_viterbi_encode(mesh, RXb, model.codebooks)
+    else:
+        model, B, obj = train_chainq(jnp.asarray(ds.Xt), opq_init[0],
+                                     opq_init[1], h=h, niter=niter)
+        Bb = quantize_chainq(model, jnp.asarray(ds.Xb))
     out = _finish_nonorth(key, "chainq", model.codebooks, B, Bb,
                           model.R, ds, float(obj[-1]), knn, verbose,
                           store, trial)
@@ -147,18 +160,37 @@ def experiment_chainq(key, ds: Dataset, m: int = 7, h: int = 256,
 
 def _lsq_family(key, ds, m, h, niter, knn, verbose, store, trial,
                 trainer: Callable, name: str, chain_init,
-                ilsiter, icmiter, npert, randord, chunk):
+                ilsiter, icmiter, npert, randord, chunk, mesh=None,
+                schedule: int = 1, p: float = 0.5):
     if chain_init is None:
         opq_model, B_opq, _ = train_opq(key, jnp.asarray(ds.Xt), m, h,
                                         niter=niter)
-        cq_model, B_cq, _ = train_chainq(jnp.asarray(ds.Xt), B_opq,
-                                         opq_model.R, h=h, niter=niter)
+        if mesh is not None:
+            from rayuela_tpu.parallel.chainq_sharded import (
+                train_chainq_sharded)
+            cq_model, B_cq, _ = train_chainq_sharded(
+                mesh, jnp.asarray(ds.Xt), B_opq, opq_model.R, h=h,
+                niter=niter)
+        else:
+            cq_model, B_cq, _ = train_chainq(jnp.asarray(ds.Xt), B_opq,
+                                             opq_model.R, h=h,
+                                             niter=niter)
         chain_init = (B_cq, cq_model.R)
     B0, R0 = chain_init
-    model, B, obj = trainer(key, jnp.asarray(ds.Xt), B0, R0, h=h,
-                            niter=niter, ilsiter=ilsiter,
-                            icmiter=icmiter, npert=npert,
-                            randord=randord, chunk=chunk)
+    if mesh is not None:
+        from rayuela_tpu.parallel.lsq_sharded import (
+            train_lsq_family_sharded)
+        meth = {"lsq": "LSQ", "sr-c": "SR_C", "sr-d": "SR_D"}[name]
+        model, B, obj = train_lsq_family_sharded(
+            mesh, key, jnp.asarray(ds.Xt), B0, R0, h=h, niter=niter,
+            ilsiter=ilsiter, icmiter=icmiter, npert=npert,
+            randord=randord, method=meth, schedule=schedule, p=p,
+            chunk=chunk)
+    else:
+        model, B, obj = trainer(key, jnp.asarray(ds.Xt), B0, R0, h=h,
+                                niter=niter, ilsiter=ilsiter,
+                                icmiter=icmiter, npert=npert,
+                                randord=randord, chunk=chunk)
     # Base encode: greedy sequential init + 4x ILS budget. The
     # reference inits from RANDOM codes (`src/SR.jl:283-287`,
     # `src/LSQ.jl:438-440`); greedy costs one extra pass and starts ILS
@@ -167,9 +199,17 @@ def _lsq_family(key, ds, m, h, niter, knn, verbose, store, trial,
     kb, ke = jax.random.split(jax.random.fold_in(key, 7))
     from rayuela_tpu.models.rvq import quantize_rvq
     Bb0, _ = quantize_rvq(model.codebooks, jnp.asarray(ds.Xb))
-    Bb = encoding_icm(ke, jnp.asarray(ds.Xb), model.codebooks, Bb0,
-                      ilsiter=ilsiter * 4, icmiter=icmiter, npert=npert,
-                      randord=randord, chunk=chunk)
+    if mesh is not None:
+        from rayuela_tpu.parallel.lsq_sharded import sharded_encoding_icm
+        Bb = sharded_encoding_icm(mesh, ke, jnp.asarray(ds.Xb),
+                                  model.codebooks, Bb0,
+                                  ilsiter=ilsiter * 4, icmiter=icmiter,
+                                  npert=npert, randord=randord,
+                                  chunk=chunk)
+    else:
+        Bb = encoding_icm(ke, jnp.asarray(ds.Xb), model.codebooks, Bb0,
+                          ilsiter=ilsiter * 4, icmiter=icmiter,
+                          npert=npert, randord=randord, chunk=chunk)
     base_error = float(qerror(jnp.asarray(ds.Xb), model.codebooks, Bb))
     if verbose:
         print(f"{name}: train {float(obj[-1]):.5g} base {base_error:.5g}")
@@ -185,11 +225,11 @@ def experiment_lsq(key, ds: Dataset, m: int = 7, h: int = 256,
                    verbose: bool = True, store: str | None = None,
                    trial: int = 0, chain_init=None, ilsiter: int = 8,
                    icmiter: int = 4, npert: int = 4,
-                   randord: bool = True, chunk: int = 8192):
+                   randord: bool = True, chunk: int = 8192, mesh=None):
     """Reference `src/LSQ.jl:383-476`."""
     return _lsq_family(key, ds, m, h, niter, knn, verbose, store, trial,
                        train_lsq, "lsq", chain_init, ilsiter, icmiter,
-                       npert, randord, chunk)
+                       npert, randord, chunk, mesh=mesh)
 
 
 def experiment_sr(key, ds: Dataset, m: int = 7, h: int = 256,
@@ -198,14 +238,15 @@ def experiment_sr(key, ds: Dataset, m: int = 7, h: int = 256,
                   chain_init=None, ilsiter: int = 8, icmiter: int = 4,
                   npert: int = 4, randord: bool = True,
                   method: str = "SR_D", schedule: int = 1,
-                  p: float = 0.5, chunk: int = 8192):
+                  p: float = 0.5, chunk: int = 8192, mesh=None):
     """Reference `src/SR.jl:178-402` (CPU/CUDA variants unified)."""
     def trainer(key, X, B0, R0, **kw):
         return train_sr(key, X, B0, R0, method=method,
                         schedule=schedule, p=p, **kw)
     return _lsq_family(key, ds, m, h, niter, knn, verbose, store, trial,
                        trainer, f"sr-{method[-1].lower()}", chain_init,
-                       ilsiter, icmiter, npert, randord, chunk)
+                       ilsiter, icmiter, npert, randord, chunk,
+                       mesh=mesh, schedule=schedule, p=p)
 
 
 def experiment_compq(key, ds: Dataset, m: int = 7, h: int = 256,
@@ -300,7 +341,7 @@ def run_train_query_base(dataset: str | Dataset = "sift1m", m: int = 8,
                          ntrials: int = 1, knn: int = 1000,
                          methods=ALL_METHODS, results_dir: str = "results",
                          verbose: bool = True, seed: int = 0,
-                         resume: bool = False, **exp_kw):
+                         resume: bool = False, mesh=None, **exp_kw):
     """The full protocol of `demos/demos_train_query_base.jl:9-96`:
     every method at equal bits-per-vector (PQ/OPQ: m codebooks;
     non-orthogonal: m-1 + norms byte), staged OPQ→ChainQ→LSQ/SR init
@@ -309,7 +350,13 @@ def run_train_query_base(dataset: str | Dataset = "sift1m", m: int = 8,
     ``resume=True`` reproduces the reference's crash-recovery behavior
     (`demos/demos_train_query_base.jl:31-58`): (method, trial) pairs
     already in the store are skipped, and a completed ChainQ stage is
-    reloaded from HDF5 to re-seed the LSQ/SR stages."""
+    reloaded from HDF5 to re-seed the LSQ/SR stages.
+
+    ``mesh`` routes ChainQ and the LSQ family (train AND base encode)
+    through the `rayuela_tpu.parallel` sharded steps — the protocol's
+    expensive stages run data-parallel across the mesh's chips, the
+    way the reference ran every experiment over `addprocs` workers
+    (`src/Rayuela.jl:10,31`)."""
     import os
 
     from rayuela_tpu.experiments.store import list_trials, load_results
@@ -345,17 +392,19 @@ def run_train_query_base(dataset: str | Dataset = "sift1m", m: int = 8,
                                       verbose, path, trial)
             elif method == "chainq":
                 out = experiment_chainq(key, ds, m - 1, h, niter, knn,
-                                        verbose, path, trial)
+                                        verbose, path, trial, mesh=mesh)
                 chain_init = (out["B"], out["R"])
             elif method == "lsq":
                 out = experiment_lsq(key, ds, m - 1, h, niter, knn,
                                      verbose, path, trial,
-                                     chain_init=chain_init, **exp_kw)
+                                     chain_init=chain_init, mesh=mesh,
+                                     **exp_kw)
             elif method in ("sr_c", "sr_d"):
                 out = experiment_sr(key, ds, m - 1, h, niter, knn,
                                     verbose, path, trial,
                                     chain_init=chain_init,
-                                    method=method.upper(), **exp_kw)
+                                    method=method.upper(), mesh=mesh,
+                                    **exp_kw)
             elif method == "compq":
                 out = experiment_compq(key, ds, m - 1, h, niter, knn,
                                        verbose, path, trial)

@@ -257,3 +257,127 @@ def test_api_search_codes_with_mesh_matches_single(rng, mesh):
                         lut_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_viterbi_matches_single(rng, mesh):
+    """Data-parallel Viterbi (the reference's ChainQ worker farm,
+    `src/ChainQ.jl:334-344`) must be code-exact vs the single-device
+    encode — Viterbi is deterministic; only argmin ties could differ,
+    and random real-valued costs have none."""
+    from rayuela_tpu.ops.viterbi import viterbi_encode
+    from rayuela_tpu.parallel.chainq_sharded import sharded_viterbi_encode
+    d, m, h, n = 12, 3, 8, 1013            # ragged n (pad path)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    C = rng.standard_normal((m, h, d)).astype(np.float32) * 0.3
+    B_ref = viterbi_encode(jnp.asarray(X), jnp.asarray(C))
+    B_sh = sharded_viterbi_encode(mesh, jnp.asarray(X), jnp.asarray(C))
+    np.testing.assert_array_equal(np.asarray(B_sh), np.asarray(B_ref))
+
+
+def test_train_chainq_sharded_matches_single(rng, mesh):
+    """Full sharded ChainQ training == single-device training up to
+    psum fp-reduction order (the whole pipeline is deterministic)."""
+    from rayuela_tpu.models.chainq import train_chainq
+    from rayuela_tpu.parallel.chainq_sharded import train_chainq_sharded
+    d, m, h, n, niter = 12, 3, 8, 1000, 3
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    B0 = rng.integers(0, h, (n, m)).astype(np.int32)
+    R0 = jnp.eye(d)
+    mref, Bref, oref = train_chainq(jnp.asarray(X), jnp.asarray(B0), R0,
+                                    h=h, niter=niter)
+    msh, Bsh, osh = train_chainq_sharded(mesh, X, B0, R0, h=h,
+                                         niter=niter)
+    np.testing.assert_allclose(np.asarray(osh), np.asarray(oref),
+                               rtol=1e-3)
+    # codes agree except at (rare) near-tie boundaries
+    agree = (np.asarray(Bsh) == np.asarray(Bref)).mean()
+    assert agree > 0.95, agree
+    np.testing.assert_allclose(np.asarray(msh.R), np.asarray(mref.R),
+                               atol=1e-3)
+
+
+def test_train_chainq_sharded_ragged_n(rng, mesh):
+    """Ragged n: pad rows carry code -1 (zero one-hot), so the stats,
+    objective and rotation are EXACT — compare against single-device
+    training on the unpadded data."""
+    from rayuela_tpu.models.chainq import train_chainq
+    from rayuela_tpu.parallel.chainq_sharded import train_chainq_sharded
+    d, m, h, n, niter = 12, 3, 8, 997, 2   # prime n: every shard ragged
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    B0 = rng.integers(0, h, (n, m)).astype(np.int32)
+    R0 = jnp.eye(d)
+    mref, Bref, oref = train_chainq(jnp.asarray(X), jnp.asarray(B0), R0,
+                                    h=h, niter=niter)
+    msh, Bsh, osh = train_chainq_sharded(mesh, X, B0, R0, h=h,
+                                         niter=niter)
+    assert Bsh.shape == (n, m)
+    np.testing.assert_allclose(np.asarray(osh), np.asarray(oref),
+                               rtol=1e-3)
+    assert (np.asarray(Bsh) == np.asarray(Bref)).mean() > 0.95
+
+
+def test_train_lsq_family_sharded_improves(rng, mesh):
+    """Sharded LSQ/SR trainers: objective decreases and lands within a
+    band of the single-device trainer (trajectories differ — ICM keys
+    fold the shard index)."""
+    from rayuela_tpu.models.lsq import train_lsq
+    from rayuela_tpu.parallel.lsq_sharded import train_lsq_family_sharded
+    d, m, h, n, niter = 12, 3, 8, 1000, 3
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    B0 = rng.integers(0, h, (n, m)).astype(np.int32)
+    R0 = jnp.eye(d)
+    key = jax.random.PRNGKey(0)
+    mref, _, oref = train_lsq(key, jnp.asarray(X), jnp.asarray(B0), R0,
+                              h=h, niter=niter, ilsiter=2, icmiter=2,
+                              npert=1, chunk=256)
+    msh, Bsh, osh = train_lsq_family_sharded(
+        mesh, key, X, B0, R0, h=h, niter=niter, ilsiter=2, icmiter=2,
+        npert=1, method="LSQ", chunk=256)
+    osh, oref = np.asarray(osh), np.asarray(oref)
+    assert Bsh.shape == (n, m) and osh.shape == oref.shape
+    assert osh[-1] <= osh[0] + 1e-5          # optimizing
+    assert abs(osh[-1] - oref[-1]) / oref[-1] < 0.2
+    # SR-D smoke: runs, right shapes, finite objective
+    msr, Bsr, osr = train_lsq_family_sharded(
+        mesh, key, X, B0, R0, h=h, niter=2, ilsiter=1, icmiter=1,
+        npert=1, method="SR_D", chunk=256)
+    assert np.isfinite(np.asarray(osr)).all()
+    msc, _, osc = train_lsq_family_sharded(
+        mesh, key, X, B0, R0, h=h, niter=2, ilsiter=1, icmiter=1,
+        npert=1, method="SR_C", chunk=256)
+    assert np.isfinite(np.asarray(osc)).all()
+
+
+def test_api_train_with_mesh_matches_without(rng, mesh):
+    """Facade `api.train(..., mesh=...)` (chainq): same recipe as the
+    meshless path — staged OPQ init then ChainQ — so the deterministic
+    outputs must agree up to fp reduction order."""
+    import rayuela_tpu.api as api
+    d, m, h, n = 12, 3, 8, 1000
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    m_ref = api.train(X, method="chainq", m=m, h=h, niter=2)
+    m_sh = api.train(X, method="chainq", m=m, h=h, niter=2, mesh=mesh)
+    assert m_sh.codebooks.shape == m_ref.codebooks.shape
+    agree = (np.asarray(m_sh.train_codes)
+             == np.asarray(m_ref.train_codes)).mean()
+    assert agree > 0.9, agree
+    # and an LSQ-family method end-to-end through the facade
+    m_lsq = api.train(X, method="lsq", m=m, h=h, niter=2, mesh=mesh,
+                      ilsiter=1, icmiter=1, npert=1, chunk=256)
+    assert m_lsq.codebooks.shape == (m, h, d)
+    assert m_lsq.train_codes.shape == (n, m)
+
+
+def test_sharded_encoding_icm_matches_budget(rng, mesh):
+    """`sharded_encoding_icm`: right shapes on ragged n, and the
+    encoding cost is <= the init cost (ICM only improves)."""
+    from rayuela_tpu.ops.qerror import qerror
+    from rayuela_tpu.parallel.lsq_sharded import sharded_encoding_icm
+    d, m, h, n = 12, 3, 8, 517
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    C = rng.standard_normal((m, h, d)).astype(np.float32) * 0.3
+    B0 = rng.integers(0, h, (n, m)).astype(np.int32)
+    B = sharded_encoding_icm(mesh, jax.random.PRNGKey(0), X, C, B0,
+                             ilsiter=2, icmiter=2, npert=1, chunk=128)
+    assert B.shape == (n, m)
+    assert float(qerror(X, C, B)) <= float(qerror(X, C, B0)) + 1e-5
