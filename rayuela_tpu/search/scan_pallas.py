@@ -68,6 +68,12 @@ _PREMIN_NR = 256
 # bitcast); same A/B-flag convention as _TOURNAMENT
 _QBIAS_DEFAULT = False
 
+# search() default for the score16 bf16-score mode (`_row_key16`):
+# halves the VMEM traffic of the score block (the measured 67% kernel
+# floor) at bf16 score resolution; same A/B-flag convention as
+# _TOURNAMENT. OFF until the on-chip A/B lands (NEXT.md lever).
+_SCORE16_DEFAULT = False
+
 
 # ---------------------------------------------------------------------------
 # Static bitonic networks (precomputed permutations + min-masks)
@@ -375,6 +381,42 @@ def _unsortable_key(k: Array) -> Array:
     return lax.bitcast_convert_type(bits, jnp.float32)
 
 
+def _decode_packed_vals(skeys: Array, idbits: int,
+                        score16: bool) -> Array:
+    """Packed selection keys → f32 scores (the truncation the kernel
+    selected under stays). score16 keys hold sign-fixed bf16 bits at
+    ``[16+idbits-1 : idbits]`` (`_row_key16`); f32 keys hold the
+    sortable transform's top ``32-idbits`` bits."""
+    if score16:
+        v = (skeys >> idbits).astype(jnp.int16)
+        v = jnp.where(v >= 0, v, v ^ jnp.int16(0x7FFF))
+        return lax.bitcast_convert_type(v, jnp.bfloat16).astype(
+            jnp.float32)
+    return _unsortable_key(skeys & jnp.int32(-(1 << idbits)))
+
+
+def _row_key16(s: Array, t, *, rows: int, bq: int, idbits: int) -> Array:
+    """bf16-score packed key (the score16 mode — NEXT.md's "smaller
+    score dtype end-to-end" floor lever): the score block arrives from
+    the MXU as BF16 (half the VMEM bytes of the f32 block that is 67%
+    of kernel time), the sortable-sign fix runs on i16 (half-width VPU
+    pass), and only the final extend-shift-or materializes i32:
+
+        key = sign_fixed_bf16_bits (16) << idbits | rid (idbits)
+
+    Signed i32 order == (bf16 score, row id) lexicographic — total,
+    tie-free. Needs ``16 + idbits <= 31`` (callers gate on
+    idbits <= 15; SIFT1M tiles use 13). The selection chain, the
+    certificate and the premin/tournament reductions are unchanged —
+    they only ever see i32 keys."""
+    sv = s.reshape(rows, LANES, bq)
+    b16 = lax.bitcast_convert_type(sv, jnp.int16)
+    k16 = jnp.where(b16 >= 0, b16, b16 ^ jnp.int16(0x7FFF))
+    rid = (lax.broadcasted_iota(jnp.int32, (rows, LANES, 1), 0)
+           + t * rows)
+    return (k16.astype(jnp.int32) << idbits) | rid
+
+
 def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int,
              nonneg: bool = False) -> Array:
     """Packed selection key for a (tile, Bq) f32 score block: the top
@@ -408,7 +450,8 @@ def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int,
 def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
                           *, rows: int, r: int, ntiles: int, bq: int,
                           idbits: int, keep: int = 0, qstart=None,
-                          premin: int = 0, nonneg: bool = False):
+                          premin: int = 0, nonneg: bool = False,
+                          score16: bool = False):
     """pack32 selection tail: bitonic-sort the tile rows' packed keys
     descending, merge into the per-lane running top-R key buffer, DMA
     it to HBM on the last tile.
@@ -440,7 +483,9 @@ def _select_insert_packed(s: Array, t, bufp, dminp, sem, outp_ref,
         dminp[:] = jnp.full(dminp.shape, jnp.iinfo(jnp.int32).max,
                             jnp.int32)
 
-    kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits, nonneg=nonneg)
+    kv = (_row_key16(s, t, rows=rows, bq=bq, idbits=idbits) if score16
+          else _row_key(s, t, rows=rows, bq=bq, idbits=idbits,
+                        nonneg=nonneg))
     if premin:
         kv, pm_min = _premin(kv, premin)
         dminp[:] = jnp.minimum(dminp[:], pm_min[None])
@@ -476,7 +521,8 @@ def _select_insert_packed_staged(s: Array, t, bufp, stagep, dminp, sem,
                                  outp_ref, *, rows: int, r: int,
                                  ntiles: int, bq: int, idbits: int,
                                  keep: int, stage: int,
-                                 premin: int = 0, nonneg: bool = False):
+                                 premin: int = 0, nonneg: bool = False,
+                                 score16: bool = False):
     """Staged variant of `_select_insert_packed`: each tile still
     pre-reduces EXACTLY to its per-lane top-``keep`` (so the flag rate
     is unchanged), but the reduced keys go to a staging buffer and the
@@ -498,7 +544,9 @@ def _select_insert_packed_staged(s: Array, t, bufp, stagep, dminp, sem,
     def _():
         stagep[:] = jnp.full(stagep.shape, imax, jnp.int32)
 
-    kv = _row_key(s, t, rows=rows, bq=bq, idbits=idbits, nonneg=nonneg)
+    kv = (_row_key16(s, t, rows=rows, bq=bq, idbits=idbits) if score16
+          else _row_key(s, t, rows=rows, bq=bq, idbits=idbits,
+                        nonneg=nonneg))
     if premin:
         kv, pm_min = _premin(kv, premin)
         dminp[:] = jnp.minimum(dminp[:], pm_min[None])
@@ -551,7 +599,8 @@ def _select_insert_packed_staged(s: Array, t, bufp, stagep, dminp, sem,
         cpd.wait()
 
 
-def _distance_block(qt_ref, x_ref, x2_ref, q2_ref=None):
+def _distance_block(qt_ref, x_ref, x2_ref, q2_ref=None,
+                    out16: bool = False):
     """(tile, Bq) squared distances, up to the per-query |q|^2 term.
 
     With ``q2_ref`` ((1, bq) per-query |q|^2), the |q|^2 term IS added
@@ -560,13 +609,16 @@ def _distance_block(qt_ref, x_ref, x2_ref, q2_ref=None):
     negative — the clamp maps those to exactly 0.0 (they are genuine
     "query equals its reconstruction" hits; the packed rid tie-break
     keeps the order total). Non-negative scores make the plain int32
-    bitcast order-preserving (`_row_key(nonneg=True)`)."""
+    bitcast order-preserving (`_row_key(nonneg=True)`).
+
+    ``out16``: emit the block as BF16 (f32 MXU accumulation, bf16
+    epilogue) — the score16 floor-reduction mode (`_row_key16`)."""
     s = -2.0 * lax.dot_general(
         x_ref[:], qt_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + x2_ref[:]
     if q2_ref is not None:
         s = jnp.maximum(s + q2_ref[:], 0.0)
-    return s
+    return s.astype(jnp.bfloat16) if out16 else s
 
 
 def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
@@ -622,39 +674,41 @@ def _scan_kernel(qt_ref, x_ref, x2_ref, outv_ref, outi_ref,
 def _scan_kernel_packed(qt_ref, x_ref, x2_ref, *rest, rows: int, r: int,
                         ntiles: int, bq: int, idbits: int,
                         keep: int = 0, premin: int = 0,
-                        qbias: bool = False):
+                        qbias: bool = False, score16: bool = False):
     """pack32 variant: one int32 (value|rowid) key per element.
 
     ``qbias``: a fourth input ref carries per-query |q|^2; scores are
     biased non-negative in-kernel so the key transform is a plain
-    bitcast (see `_distance_block`/`_row_key`)."""
+    bitcast (see `_distance_block`/`_row_key`). ``score16``: bf16
+    score block + 16-bit key formation (`_row_key16`)."""
     t = pl.program_id(1)
     if qbias:
         q2_ref, outp_ref, bufp, dminp, sem = rest
     else:
         (outp_ref, bufp, dminp, sem), q2_ref = rest, None
-    s = _distance_block(qt_ref, x_ref, x2_ref, q2_ref)
+    s = _distance_block(qt_ref, x_ref, x2_ref, q2_ref, out16=score16)
     _select_insert_packed(s, t, bufp, dminp, sem, outp_ref, rows=rows,
                           r=r, ntiles=ntiles, bq=bq, idbits=idbits,
-                          keep=keep, premin=premin, nonneg=qbias)
+                          keep=keep, premin=premin, nonneg=qbias,
+                          score16=score16)
 
 
 def _scan_kernel_packed_staged(qt_ref, x_ref, x2_ref, *rest, rows: int,
                                r: int, ntiles: int, bq: int, idbits: int,
                                keep: int, stage: int, premin: int = 0,
-                               qbias: bool = False):
+                               qbias: bool = False, score16: bool = False):
     """pack32 + staged buffer merge (see `_select_insert_packed_staged`)."""
     t = pl.program_id(1)
     if qbias:
         q2_ref, outp_ref, bufp, stagep, dminp, sem = rest
     else:
         (outp_ref, bufp, stagep, dminp, sem), q2_ref = rest, None
-    s = _distance_block(qt_ref, x_ref, x2_ref, q2_ref)
+    s = _distance_block(qt_ref, x_ref, x2_ref, q2_ref, out16=score16)
     _select_insert_packed_staged(s, t, bufp, stagep, dminp, sem,
                                  outp_ref, rows=rows, r=r,
                                  ntiles=ntiles, bq=bq, idbits=idbits,
                                  keep=keep, stage=stage, premin=premin,
-                                 nonneg=qbias)
+                                 nonneg=qbias, score16=score16)
 
 
 def _count_below(s: Array, t, tau_ref, *, rows: int, bq: int,
@@ -905,7 +959,8 @@ def _tail_kernel(outp_ref, keys_ref, lanes_ref, *, r: int, L0: int,
 
 
 def _tail_candidates_pallas(outp_rows: Array, nq: int, r: int, k: int,
-                            idbits: int, interpret: bool = False):
+                            idbits: int, interpret: bool = False,
+                            score16: bool = False):
     """`_packed_candidates` semantics via the in-VMEM `_tail_kernel`:
     (trunc scores (nq, k), gids (nq, k), tau (nq,) packed boundary
     keys). ``outp_rows`` is the scan's (r, LANES, nqp) key buffer."""
@@ -917,7 +972,8 @@ def _tail_candidates_pallas(outp_rows: Array, nq: int, r: int, k: int,
     if nqp % bq2 or cap > 1024 or L0 > 32:
         # tiny query batches, or configs whose working set would blow
         # the 16 MB scoped-VMEM budget: host XLA selection instead
-        return _packed_candidates(outp_rows, nq, r, k, idbits)
+        return _packed_candidates(outp_rows, nq, r, k, idbits,
+                                  score16=score16)
     kern = functools.partial(_tail_kernel, r=r, L0=L0, cap=cap, bq2=bq2)
     keys, lanes = pl.pallas_call(
         kern,
@@ -944,7 +1000,7 @@ def _tail_candidates_pallas(outp_rows: Array, nq: int, r: int, k: int,
     skeys = keys[:k, :nq].T                           # (nq, k) asc
     slanes = lanes[:k, :nq].T
     ids = (skeys & jnp.int32((1 << idbits) - 1)) * LANES + slanes
-    vals = _unsortable_key(skeys & jnp.int32(-(1 << idbits)))
+    vals = _decode_packed_vals(skeys, idbits, score16)
     return vals, ids, skeys[:, k - 1]
 
 
@@ -995,7 +1051,8 @@ def _merge_pairs(keys: Array, lanes: Array, cap: int
     return ka, la
 
 
-def _packed_candidates(outp, nq: int, r: int, k: int, idbits: int):
+def _packed_candidates(outp, nq: int, r: int, k: int, idbits: int,
+                       score16: bool = False):
     """Packed key buffer → (trunc scores (nq,k), gids (nq,k),
     tau (nq,) packed boundary keys), ranked by the packed total order.
 
@@ -1032,7 +1089,7 @@ def _packed_candidates(outp, nq: int, r: int, k: int, idbits: int):
     skeys = keys[:k, 0].T                             # (nq, k) asc
     slanes = lanes[:k, 0].T
     ids = (skeys & jnp.int32((1 << idbits) - 1)) * LANES + slanes
-    vals = _unsortable_key(skeys & jnp.int32(-(1 << idbits)))
+    vals = _decode_packed_vals(skeys, idbits, score16)
     return vals, ids, skeys[:, k - 1]
 
 
@@ -1045,7 +1102,7 @@ def candidate_ids(outi: Array, nq: int, r: int) -> Array:
 @functools.partial(
     jax.jit, static_argnames=("qbias", "k", "r", "bq", "tile", "verify",
                               "interpret", "pack", "keep", "tail",
-                              "vmem_mb", "stage", "premin"))
+                              "vmem_mb", "stage", "premin", "score16"))
 def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
                      r: int = 48, bq: int = 128, tile: int = 2048,
                      verify: bool = True, interpret: bool = False,
@@ -1054,7 +1111,8 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
                      vmem_mb: int | None = None,
                      stage: int = 0,
                      premin: int = 0,
-                     qbias: bool = False) -> tuple[Array, Array, Array]:
+                     qbias: bool = False,
+                     score16: bool = False) -> tuple[Array, Array, Array]:
     """Exact-unless-flagged top-k ADC scan over a decoded base.
 
     Args:
@@ -1100,6 +1158,13 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
         clamp scores at +0.0, so keys are a plain int32 bitcast (one
         fewer full-size VPU op than the signed sortable transform;
         near-zero distances clamp to exactly 0.0 and rank by row id).
+      score16: pack32-only — the distance block leaves the MXU as
+        BF16 and the key's value field is its sign-fixed 16 bits
+        (`_row_key16`): halves the score-block VMEM traffic that
+        dominates the kernel floor, at bf16 score resolution (the
+        result is the exact top-k of the BF16-ROUNDED scores, same
+        contract shape as the f32-truncated keys; certificate
+        unchanged). Requires ``idbits <= 15`` (n <= 4.2M per call).
 
     Returns ``(dists (nq, k), ids (nq, k), flagged (nq,) bool)``.
     Flagged queries must be re-run via the exact XLA path (done by
@@ -1166,6 +1231,15 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
     q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
     if qbias and not idbits:
         raise ValueError("qbias requires pack=True")
+    if score16:
+        if not idbits:
+            raise ValueError("score16 requires pack=True")
+        if qbias:
+            raise ValueError("score16 and qbias are exclusive")
+        if idbits > 15:
+            raise ValueError(f"score16 needs idbits <= 15 (16 value "
+                             f"bits + {idbits} rid bits > 31); "
+                             "segment the base")
 
     cparams = (pltpu.CompilerParams(
         vmem_limit_bytes=vmem_mb * 1024 * 1024)
@@ -1181,7 +1255,8 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
             kern = functools.partial(
                 _scan_kernel_packed_staged, rows=rows, r=r,
                 ntiles=ntiles, bq=bq, idbits=idbits, keep=keep,
-                stage=stage, premin=premin, qbias=qbias)
+                stage=stage, premin=premin, qbias=qbias,
+                score16=score16)
             scratch = [
                 pltpu.VMEM((r, LANES, bq), jnp.int32),
                 pltpu.VMEM((keep * stage, LANES, bq), jnp.int32),
@@ -1192,7 +1267,8 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
             kern = functools.partial(_scan_kernel_packed, rows=rows,
                                      r=r, ntiles=ntiles, bq=bq,
                                      idbits=idbits, keep=keep,
-                                     premin=premin, qbias=qbias)
+                                     premin=premin, qbias=qbias,
+                                     score16=score16)
             scratch = [
                 pltpu.VMEM((r, LANES, bq), jnp.int32),
                 pltpu.VMEM((1, LANES, bq), jnp.int32),
@@ -1213,10 +1289,12 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
             tail = not interpret
         if tail:
             vals, ids, tau_k = _tail_candidates_pallas(
-                outp[:r], nq, r, kk, idbits, interpret=interpret)
+                outp[:r], nq, r, kk, idbits, interpret=interpret,
+                score16=score16)
         else:
             vals, ids, tau_k = _packed_candidates(outp[:r], nq, r, kk,
-                                                  idbits)
+                                                  idbits,
+                                                  score16=score16)
         # qbias kernels already fold |q|^2 into the score
         dists = vals if qbias else vals + q2
         if not verify:
@@ -1287,12 +1365,13 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "bq", "tile", "interpret",
                               "keep", "vmem_mb", "stage", "premin",
-                              "nr", "qbias"))
+                              "nr", "qbias", "score16"))
 def _scan_premin_inline(Q: Array, Xd: Array, x2: Array, *, k: int,
                         r: int, bq: int, tile: int, keep: int,
                         stage: int, premin: int, nr: int,
                         vmem_mb: int | None = None,
-                        interpret: bool = False, qbias: bool = False
+                        interpret: bool = False, qbias: bool = False,
+                        score16: bool = False
                         ) -> tuple[Array, Array, Array]:
     """premin scan + IN-GRAPH exact-kernel rescue — one dispatch.
 
@@ -1317,7 +1396,7 @@ def _scan_premin_inline(Q: Array, Xd: Array, x2: Array, *, k: int,
     d1, i1, fl = pallas_scan_topk(
         Q, Xd, x2, k=k, r=r, bq=bq, tile=tile, verify=True,
         interpret=interpret, pack=True, keep=keep, vmem_mb=vmem_mb,
-        stage=stage, premin=premin, qbias=qbias)
+        stage=stage, premin=premin, qbias=qbias, score16=score16)
     nr = min(nr, nq)
     fli = fl.astype(jnp.int32)
     _, qidx = lax.top_k(fli, nr)             # flagged-first, distinct
@@ -1328,7 +1407,8 @@ def _scan_premin_inline(Q: Array, Xd: Array, x2: Array, *, k: int,
     d2, i2, f2 = pallas_scan_topk(
         Q[qidx], Xd, x2, k=k, r=r, bq=bq2,
         tile=tile, verify=True, interpret=interpret, pack=True,
-        keep=keep, vmem_mb=vmem_mb, stage=stage, premin=0, qbias=qbias)
+        keep=keep, vmem_mb=vmem_mb, stage=stage, premin=0, qbias=qbias,
+        score16=score16)
     sel = fl[qidx]                           # real flags among slots
     d1 = d1.at[qidx].set(jnp.where(sel[:, None], d2, d1[qidx]))
     i1 = i1.at[qidx].set(jnp.where(sel[:, None], i2, i1[qidx]))
@@ -1434,7 +1514,8 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
            keep: int | None = None,
            vmem_mb: int | None = None,
            premin: int | None = None,
-           qbias: bool | None = None) -> tuple[Array, Array]:
+           qbias: bool | None = None,
+           score16: bool | None = None) -> tuple[Array, Array]:
     """Exact top-k search: Pallas fast path + XLA re-run for any query
     the verification kernel flags (host-side check, so shapes stay
     static under jit).
@@ -1472,6 +1553,11 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     if qbias is None:
         qbias = pack and _QBIAS_DEFAULT
     qbias = qbias and pack
+    if score16 is None:
+        score16 = pack and not qbias and _SCORE16_DEFAULT
+    # score16 needs 16 value + idbits rid bits in one i32
+    score16 = (score16 and pack and not qbias
+               and cdiv(index.n, tile) * tile // LANES <= (1 << 15))
     if vmem_mb is None and (tile > 4096 or stage):
         vmem_mb = 64          # beyond the 16 MB scoped-VMEM default
     if premin and pack:
@@ -1481,12 +1567,14 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
         dists, ids, flagged = _scan_premin_inline(
             Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
             keep=keep, stage=stage, premin=premin, nr=_PREMIN_NR,
-            vmem_mb=vmem_mb, interpret=interpret, qbias=qbias)
+            vmem_mb=vmem_mb, interpret=interpret, qbias=qbias,
+            score16=score16)
     else:
         dists, ids, flagged = pallas_scan_topk(
             Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
             verify=True, interpret=interpret, pack=pack, keep=keep,
-            vmem_mb=vmem_mb, stage=stage, premin=premin, qbias=qbias)
+            vmem_mb=vmem_mb, stage=stage, premin=premin, qbias=qbias,
+            score16=score16)
     flagged = np.asarray(flagged)
     if flagged.any():
         from rayuela_tpu.search.linscan import exact_rescan

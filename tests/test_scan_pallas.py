@@ -656,3 +656,77 @@ def test_decoded_search_k_exceeding_n_clamps(rng):
     assert dv.shape == (3, n) and di.shape == (3, n)
     assert np.isfinite(np.asarray(dv)).all()
     assert (np.asarray(di) >= 0).all() and (np.asarray(di) < n).all()
+
+
+def test_score16_matches_brute_force(rng):
+    """score16 mode (bf16 score block + 16-bit key value field,
+    `_row_key16`): the result must be the exact top-k of the
+    BF16-ROUNDED scores on every packed kernel variant — true
+    distances of returned ids within bf16 resolution of the brute
+    curve, reported dists equal to the bf16 rounding of the true
+    scores, certificate flags still honest."""
+    nq, n, d, k = 16, 3 * 2048 + 17, 32, 48
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    ref_d, _ = brute(Q, Xd, k)
+    for kw in (dict(r=16, bq=128, tile=2048, keep=2, stage=8),
+               dict(r=14, bq=128, tile=2048, keep=2),
+               dict(r=48, bq=128, tile=2048)):
+        dists, ids, flagged = run(Q, Xd, k=k, pack=True, score16=True,
+                                  **kw)
+        ids = np.asarray(ids)
+        assert (ids >= 0).all() and (ids < n).all()
+        for q in range(nq):            # packed keys stay unique
+            assert len(set(ids[q])) == k
+        ok = ~np.asarray(flagged)
+        D = ((Q[:, None, :].astype(np.float64) - Xd[None]) ** 2).sum(-1)
+        picked = np.take_along_axis(D, ids, axis=1)
+        # bf16 has ~2^-8 relative resolution; boundary swaps move the
+        # curve by at most that
+        np.testing.assert_allclose(picked[ok], ref_d[ok], rtol=2e-2,
+                                   atol=2e-2)
+        # reported dists are the bf16 roundings the kernel selected on
+        # (+ the f32 |q|^2 added outside the kernel)
+        kern = (-2.0 * Q @ Xd.T + (Xd ** 2).sum(1)[None, :]).astype(
+            np.float32)
+        kern16 = np.take_along_axis(
+            jnp.asarray(kern).astype(jnp.bfloat16).astype(
+                jnp.float32).__array__(), ids, axis=1)
+        expected = kern16 + (Q ** 2).sum(1, keepdims=True)
+        # scores sitting exactly on a bf16 rounding boundary can round
+        # differently in the kernel's f32 accumulation order than in
+        # numpy's — allow a 1-ulp (2^-8 rel) disagreement on a tiny
+        # fraction, exact equality on the rest
+        close = np.isclose(np.asarray(dists), expected, rtol=1e-6,
+                           atol=1e-5)
+        assert close.mean() > 0.99, close.mean()
+        np.testing.assert_allclose(np.asarray(dists), expected,
+                                   rtol=2 ** -8, atol=1e-4)
+
+    # premin in-graph rescue composes with score16
+    from rayuela_tpu.search.scan_pallas import _scan_premin_inline
+    d2, i2, f2 = _scan_premin_inline(
+        jnp.asarray(Q), jnp.asarray(Xd),
+        jnp.sum(jnp.asarray(Xd) ** 2, -1), k=k, r=16, bq=128,
+        tile=2048, keep=2, stage=8, premin=2, nr=16, interpret=True,
+        score16=True)
+    ok = ~np.asarray(f2)
+    D = ((Q[:, None, :].astype(np.float64) - Xd[None]) ** 2).sum(-1)
+    picked = np.take_along_axis(D, np.asarray(i2), axis=1)
+    np.testing.assert_allclose(np.sort(picked, 1)[ok], ref_d[ok],
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_score16_validation(rng):
+    from rayuela_tpu.search.scan_pallas import pallas_scan_topk
+    Q = rng.standard_normal((4, 8)).astype(np.float32)
+    Xd = rng.standard_normal((256, 8)).astype(np.float32)
+    x2 = jnp.sum(jnp.asarray(Xd) ** 2, -1)
+    with pytest.raises(ValueError, match="score16 requires pack"):
+        pallas_scan_topk(jnp.asarray(Q), jnp.asarray(Xd), x2, k=4,
+                         r=14, bq=4, tile=256, pack=False,
+                         score16=True, interpret=True)
+    with pytest.raises(ValueError, match="exclusive"):
+        pallas_scan_topk(jnp.asarray(Q), jnp.asarray(Xd), x2, k=4,
+                         r=14, bq=4, tile=256, pack=True, qbias=True,
+                         score16=True, interpret=True)
