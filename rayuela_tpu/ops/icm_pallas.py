@@ -245,10 +245,12 @@ def _prep(X, C, B, npad):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("icmiter", "chunk", "interpret"))
+                   static_argnames=("icmiter", "chunk", "interpret",
+                                    "vmem_mb"))
 def icm_sweeps_pallas(X: Array, C: Array, B: Array, order: Array,
                       icmiter: int, chunk: int = 256,
-                      interpret: bool = False) -> tuple[Array, Array]:
+                      interpret: bool = False,
+                      vmem_mb: int | None = None) -> tuple[Array, Array]:
     """``icmiter`` ICM sweeps for all vectors. ``X (n, d)``,
     ``C (m, h, d)``, ``B (n, m)`` int32, ``order (m,)`` int32 node
     order. Returns ``(codes (n, m), energy (n,))`` where energy is the
@@ -269,6 +271,8 @@ def icm_sweeps_pallas(X: Array, C: Array, B: Array, order: Array,
     kern = functools.partial(_kernel, m=m, h=h, c=chunk,
                              icmiter=icmiter)
     in_specs, out_specs, scratch = _common_specs(m, h, d, mh, chunk)
+    cparams = (pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_mb * 1024 * 1024) if vmem_mb else None)
     Bout, eng = pl.pallas_call(
         kern,
         grid=(nchunks,),
@@ -279,6 +283,7 @@ def icm_sweeps_pallas(X: Array, C: Array, B: Array, order: Array,
             jax.ShapeDtypeStruct((1, npad), jnp.float32),
         ),
         scratch_shapes=scratch,
+        compiler_params=cparams,
         interpret=interpret,
     )(Xp, Bp, Cflat, c2)
     return jnp.take(Bout.T[:n], inv, axis=1), eng[0, :n]

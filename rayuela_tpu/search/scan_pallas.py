@@ -411,10 +411,15 @@ def _row_key16(s: Array, t, *, rows: int, bq: int, idbits: int) -> Array:
     they only ever see i32 keys."""
     sv = s.reshape(rows, LANES, bq)
     b16 = lax.bitcast_convert_type(sv, jnp.int16)
-    k16 = jnp.where(b16 >= 0, b16, b16 ^ jnp.int16(0x7FFF))
+    # sign-fix AFTER widening: v5e Mosaic lowers the i16->i32 extension
+    # but not i16 vector compares ("Target does not support this
+    # comparison", measured 2026-08-20) — so only the bitcast and the
+    # extension run at half width
+    b32 = b16.astype(jnp.int32)
+    k32 = jnp.where(b32 >= 0, b32, b32 ^ jnp.int32(0x7FFF))
     rid = (lax.broadcasted_iota(jnp.int32, (rows, LANES, 1), 0)
            + t * rows)
-    return (k16.astype(jnp.int32) << idbits) | rid
+    return (k32 << idbits) | rid
 
 
 def _row_key(s: Array, t, *, rows: int, bq: int, idbits: int,
