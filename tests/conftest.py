@@ -25,6 +25,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables between test modules.
+
+    The full suite compiles many hundreds of distinct XLA CPU programs
+    in one process; past ~190 tests the accumulated compiler/JIT state
+    made `backend_compile_and_load` segfault deterministically (always
+    the same test, only in the full run — every <=13-file subset
+    passes). Dropping jit caches per module keeps the live-executable
+    population bounded; cross-module recompiles are cheap because
+    modules rarely share traced shapes."""
+    yield
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
