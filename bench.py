@@ -65,7 +65,10 @@ START = time.monotonic()
 # row runs EARLY (right after the m8 codes rows), later sections drop
 # to reps=1 when behind, and the 1e9 row (8 GB device_put ≈ 140 s
 # through the tunnel) runs last only if enough budget remains.
-TIME_BUDGET = float(os.environ.get("RAYUELA_BENCH_BUDGET", 900))
+# default 780 s: the r03 driver kill happened somewhere past the 10th
+# row — staying clearly under the driver's own (unpublished) budget
+# means WE decide what to skip, not SIGKILL
+TIME_BUDGET = float(os.environ.get("RAYUELA_BENCH_BUDGET", 780))
 
 
 def _remaining() -> float:

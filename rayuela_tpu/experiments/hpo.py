@@ -73,6 +73,13 @@ def default_objective(ds, m: int, h: int, niter: int, seed: int = 0,
 
     def objective(cfg: LSQConfig) -> float:
         key = jax.random.PRNGKey(seed)
+        if cfg.icmiter > 16 and jax.default_backend() != "cpu":
+            # known-infeasible on TPU: icmiter=32 inside jit(train_lsq)
+            # overflows XLA's scoped-vmem PLACEMENT (NEXT.md; the
+            # escape-hatch flag cannot be set in this env) — and the
+            # doomed compile costs ~35 min before raising, so score it
+            # statically with the same loss the crash handler would
+            return 1.0
         kw = dict(niter=niter, knn=knn, verbose=False,
                   ilsiter=cfg.ilsiter, icmiter=cfg.icmiter,
                   npert=cfg.npert, randord=cfg.randord)
