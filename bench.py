@@ -299,16 +299,32 @@ def bench_viterbi(jax, jnp, rng):
 
 
 def _random_packed_codes(jax, jnp, rng, n_big):
-    """uint8 (n, m) little-endian IS the packed int32 (n, m/4) array;
-    rng.bytes is ~20x faster than rng.integers, but ONE big call
-    degrades to ~10 MB/s — chunk it (see NEXT.md)."""
-    B8 = np.empty((n_big, M), np.uint8)
-    flat, step = B8.reshape(-1), 1 << 28
-    for st in range(0, n_big * M, step):
-        sz = min(step, n_big * M - st)
-        flat[st:st + sz] = np.frombuffer(rng.bytes(sz), np.uint8)
-    packed = jax.device_put(
-        jnp.asarray(B8.view(np.uint32).view(np.int32)))
+    """Random packed codes generated ON-DEVICE: uniform random bytes
+    ARE uniform random codes at h=256, and the packed (n, m/4) int32
+    layout is just those bytes — so threefry bits straight into HBM.
+    The old host path (chunked rng.bytes + device_put) cost ~150 s for
+    the 8 GB 1e9 array through the axon tunnel and was why the 1b row
+    kept missing the time budget; on-device it's seconds. Filled in 16
+    row-segments via donated dynamic_update_slice so peak HBM is the
+    8 GB buffer + one 0.5 GB segment, not 2x."""
+    from functools import partial
+
+    from jax import lax
+
+    nseg = 16 if n_big % 16 == 0 else 1
+    rows = n_big // nseg
+
+    @partial(jax.jit, donate_argnums=0)
+    def fill(buf, key):
+        def body(i, b):
+            bits = jax.random.bits(jax.random.fold_in(key, i),
+                                   (rows, M // 4), jnp.uint32)
+            seg = lax.bitcast_convert_type(bits, jnp.int32)
+            return lax.dynamic_update_slice(b, seg, (i * rows, 0))
+        return lax.fori_loop(0, nseg, body, buf)
+
+    packed = fill(jnp.zeros((n_big, M // 4), jnp.int32),
+                  jax.random.PRNGKey(int(rng.integers(1 << 30))))
     jax.block_until_ready(packed)
     return packed
 
@@ -352,9 +368,9 @@ def bench_scan_1b(jax, jnp, rng, C, Q):
     if os.environ.get("RAYUELA_BENCH_1B", "1") == "0":
         print("# 1b row skipped (RAYUELA_BENCH_1B=0)", flush=True)
         return
-    # 8 GB gen + device_put is ~150-160 s through the tunnel, plus
-    # warm + 2 reps at ~20-30 s each: needs a real remaining budget.
-    if _remaining() < 300:
+    # on-device gen is seconds; compile + warm + 2 reps at ~20-30 s
+    # each still needs a real remaining budget.
+    if _remaining() < 180:
         print(f"# 1b row skipped (budget: {_remaining():.0f}s left)",
               flush=True)
         return

@@ -1467,12 +1467,18 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
             # lax.scan over the equal-size segments: ONE dispatch for
             # all full segments instead of a host loop (120 segment
             # launches at n=1e9 cost ~6 s in dispatch + slice copies);
-            # the ragged remainder is one extra call.
-            Pfull = index.packed[:nfull * seg].reshape(nfull, seg, -1)
+            # the ragged remainder is one extra call. The scan carries
+            # only SEGMENT INDICES and dynamic-slices each segment out
+            # of the resident array in-body: a reshaped (nfull, seg, w)
+            # xs operand materialized a full second copy of the packed
+            # base — fatal at n=1e9, where the base alone is 8 GB of
+            # the 16 GB chip (caught by the round-4 on-device 1b run).
+            wpk = index.packed.shape[1]
 
-            def body(carry, xs):
+            def body(carry, segi):
                 bs, bi = carry
-                pseg, segi = xs
+                pseg = lax.dynamic_slice(
+                    index.packed, (segi * seg, 0), (seg, wpk))
                 s, i, fl = scan_segment(pseg, k)
                 i = i + segi * seg
                 cs = jnp.concatenate([bs, s], axis=1)
@@ -1484,7 +1490,7 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
             init = (jnp.full((nq, k), jnp.inf, jnp.float32),
                     jnp.zeros((nq, k), jnp.int32))
             (best_s, best_i), fls = lax.scan(
-                body, init, (Pfull, jnp.arange(nfull)))
+                body, init, jnp.arange(nfull))
             if rem:
                 s, i, fl = scan_segment(index.packed[nfull * seg:],
                                         min(k, rem))
