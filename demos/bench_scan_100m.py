@@ -44,32 +44,21 @@ def log(msg):
 
 def main():
     from rayuela_tpu.search.scan_codes_pallas import (
-        CodesIndex, build_luts, search_codes, xla_lut_scan)
+        CodesIndex, build_luts, search_codes, unpack_codes,
+        xla_lut_scan)
+    import bench
 
     rng = np.random.default_rng(0)
     C = rng.standard_normal((M, H, D // M)).astype(np.float32)
     Q = rng.standard_normal((NQ, D)).astype(np.float32)
 
-    # Pack on host: uint8 (n, m) little-endian IS the packed int32
-    # (n, m/4) array (pack_codes semantics) — no 3.2 GB device
-    # intermediate.
+    # Generate the packed codes ON-DEVICE (uniform random bytes ARE
+    # uniform h=256 codes in pack_codes layout): 1.6 s for the 8 GB
+    # 1e9 array vs ~150 s for host gen + tunnel device_put (round 4).
     t0 = time.perf_counter()
-    # chunked: one rng.bytes(8 GB) call degrades to ~10 MB/s (vs
-    # ~120 MB/s at sub-GB sizes) and doubles peak host RAM
-    B8 = np.empty((N, M), np.uint8)
-    flat = B8.reshape(-1)
-    step = 1 << 28
-    for st in range(0, N * M, step):
-        sz = min(step, N * M - st)
-        flat[st:st + sz] = np.frombuffer(rng.bytes(sz), dtype=np.uint8)
-    packed_host = B8.view(np.uint32).view(np.int32)
-    log(f"host gen+pack: {time.perf_counter() - t0:.1f} s "
-        f"({packed_host.nbytes / 1e6:.0f} MB)")
-
-    t0 = time.perf_counter()
-    packed = jax.device_put(jnp.asarray(packed_host))
-    jax.block_until_ready(packed)
-    log(f"device transfer: {time.perf_counter() - t0:.1f} s")
+    packed = bench._random_packed_codes(jax, jnp, rng, N)
+    log(f"on-device gen: {time.perf_counter() - t0:.1f} s "
+        f"({packed.nbytes / 1e6:.0f} MB)")
     index = CodesIndex(packed, M, jnp.asarray(C), pq=True, d=D,
                        norms_cbook=None)
 
@@ -102,7 +91,7 @@ def main():
     # 800 MB packed index: 8 x 1e6 x 8 f32 = 256 MB
     chunk = 1_000_000
     for st in range(0, N, chunk):
-        Bc = jnp.asarray(B8[st:st + chunk].astype(np.int32))
+        Bc = unpack_codes(packed[st:st + chunk], M)
         sc, ic = xla_lut_scan(T, Bc, k, lut_dtype=jnp.bfloat16)
         ic = ic + st
         if bs is None:
