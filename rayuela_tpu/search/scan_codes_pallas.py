@@ -1269,6 +1269,34 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
     (`_codes_auto_config`)."""
     k = min(k, index.n)       # never return padded (inf, fake-id) rows
     d = Q.shape[1] if index.d in (-1, None) else index.d
+    if mode == "lut" and index.n > _DECODE_SEG:
+        # LUT mode's packed row ids span the same 16-bit range as
+        # decode mode (8.4M rows/call) but its fused front-end is
+        # unsegmented — route big bases through per-segment recursion
+        # with an exact top-k merge (this mode is the fallback for
+        # shards beyond the packed-id range, so crashing on exactly
+        # those sizes was a bug; found by the round-4 1e8 LUT A/B)
+        best_s = best_i = None
+        for st in range(0, index.n, _DECODE_SEG):
+            stop = min(st + _DECODE_SEG, index.n)
+            sub = CodesIndex(index.packed[st:stop], index.mprime,
+                             index.C, pq=index.pq, d=index.d,
+                             norms_cbook=index.norms_cbook)
+            s, i = search_codes(sub, Q, min(k, stop - st), r=r, bq=bq,
+                                tile=tile, interpret=interpret,
+                                lut_dtype=lut_dtype, pack=pack,
+                                keep=keep, mode="lut", stage=stage,
+                                vmem_mb=vmem_mb)
+            i = i + st
+            if best_s is None:
+                best_s, best_i = s, i
+            else:
+                cs = jnp.concatenate([best_s, s], axis=1)
+                ci = jnp.concatenate([best_i, i], axis=1)
+                neg, loc = lax.top_k(-cs, k)
+                best_s = -neg
+                best_i = jnp.take_along_axis(ci, loc, axis=1)
+        return best_s, best_i
     if k > 96 * LANES and r is None:
         # beyond any kernel config's per-lane buffer: exact XLA LUT
         # scan (out-of-protocol regime — the reference caps at 1000).

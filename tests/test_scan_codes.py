@@ -644,3 +644,30 @@ def test_xla_fallback_tiles_query_and_base(rng):
     picked = np.take_along_axis(Dfull, np.asarray(i), axis=1)
     np.testing.assert_allclose(picked, np.asarray(s) + q2,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_lut_mode_segmented_matches_single(rng, monkeypatch):
+    """LUT mode is the documented fallback for shards beyond the
+    packed-id range, but its fused front-end is unsegmented — big
+    bases must recurse per segment with an exact merge (round-4 fix:
+    the unsegmented call crashed at n=1e8 with a reshape error)."""
+    from rayuela_tpu.search import scan_codes_pallas as scp
+    d, m, h, n, nq, k = 16, 4, 16, 5000, 6, 20
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    idx = scp.build_codes_index(jnp.asarray(C), jnp.asarray(B),
+                                pq=True, d=d)
+    kw = dict(interpret=True, mode="lut", lut_dtype=jnp.float32,
+              r=24, bq=8, tile=1024)
+    d1, i1 = scp.search_codes(idx, jnp.asarray(Q), k, **kw)
+    monkeypatch.setattr(scp, "_DECODE_SEG", 2048)
+    d2, i2 = scp.search_codes(idx, jnp.asarray(Q), k, **kw)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-4, atol=1e-3)
+    # every reported id must score its reported rank exactly
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    Xd = np.asarray(reconstruct_pq(jnp.asarray(C), jnp.asarray(B), d))
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    picked = np.take_along_axis(D, np.asarray(i2), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(d2), rtol=1e-4,
+                               atol=1e-3)
