@@ -671,3 +671,37 @@ def test_lut_mode_segmented_matches_single(rng, monkeypatch):
     picked = np.take_along_axis(D, np.asarray(i2), axis=1)
     np.testing.assert_allclose(picked, np.asarray(d2), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_segmented_norms_byte_matches_single(rng, monkeypatch):
+    """Additive (norms-byte) index through forced tiny segments: the
+    norms byte rides IN the packed word, so row slicing must keep it
+    aligned and every segment must add the same norms-table term."""
+    from rayuela_tpu.search import scan_codes_pallas as scp
+    d, m, h, n, nq, k = 16, 3, 16, 5000, 6, 20
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=False)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    from rayuela_tpu.ops.qerror import reconstruct
+    Xd = np.asarray(reconstruct(jnp.asarray(C), jnp.asarray(B)))
+    x2 = (Xd ** 2).sum(-1)
+    # 16-entry norms codebook + nearest-entry codes
+    ncb = np.quantile(x2, np.linspace(0, 1, 16)).astype(np.float32)
+    ncodes = np.argmin(np.abs(x2[:, None] - ncb[None]), axis=1)
+    idx = scp.build_codes_index(
+        jnp.asarray(C), jnp.asarray(B), pq=False, d=d,
+        norms_cbook=jnp.asarray(ncb),
+        norms_codes=jnp.asarray(ncodes, jnp.int32))
+    kw = dict(interpret=True, mode="decode", lut_dtype=jnp.float32,
+              r=28, bq=8, tile=1024, keep=4)
+    d1, i1 = scp.search_codes(idx, jnp.asarray(Q), k, **kw)
+    monkeypatch.setattr(scp, "_DECODE_SEG", 2048)
+    d2, i2 = scp.search_codes(idx, jnp.asarray(Q), k, **kw)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-4, atol=1e-3)
+    # rank-exactness vs the norms-byte scoring convention:
+    # -2 q.x_hat + ncb[ncode] + |q|^2
+    D = (-2 * Q @ Xd.T + ncb[ncodes][None]
+         + (Q ** 2).sum(-1, keepdims=True))
+    picked = np.take_along_axis(D, np.asarray(i2), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(d2), rtol=1e-4,
+                               atol=1e-3)
