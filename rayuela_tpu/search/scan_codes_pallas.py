@@ -975,6 +975,9 @@ class CodesIndex:
         self.pq, self.d, self.norms_cbook = pq, d, norms_cbook
         self.n = packed.shape[0]
         self._decode_ops: dict = {}
+        # jitted segmented-scan executables keyed by (Q shape, k,
+        # config): eager retrace cost ~0.7-1.0 s per 1e8-scale call
+        self._seg_fns: dict = {}
 
     def decode_operands(self, d: int, op_dtype):
         """Cached `build_decode_operands` result: the flattened
@@ -1369,7 +1372,7 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
             # fused kernels fold it in-graph)
             return jnp.sum(Qj * Qj, axis=-1, keepdims=True)
 
-        def scan_segment(packed_seg, kseg):
+        def scan_segment_with(Qv, Cfv, nrmv, packed_seg, kseg):
             if twopass:
                 # pass 2 FULL-SORTS its candidate windows (keep2=0):
                 # a keep2 pre-reduction there drops all but keep2 of
@@ -1390,16 +1393,19 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
                 keep_tp = (keep if keep_explicit and keep
                            else (2 if kseg <= 512 else 4))
                 return pallas_scan_codes_decode_topk_2p(
-                    Qj, Cf, nrm, packed_seg, k=kseg, pq=index.pq,
+                    Qv, Cfv, nrmv, packed_seg, k=kseg, pq=index.pq,
                     r=r2p, bq=bq, tile=tile, keep=keep_tp,
                     keep2=0, rows2=rows2, verify=True,
                     interpret=interpret, op_dtype=lut_dtype,
                     vmem_mb=vmem_mb or 64)
             return pallas_scan_codes_decode_topk(
-                Qj, Cf, nrm, packed_seg, k=kseg, pq=index.pq, r=r,
+                Qv, Cfv, nrmv, packed_seg, k=kseg, pq=index.pq, r=r,
                 bq=bq, tile=tile, keep=keep if keep else 0,
                 verify=True, interpret=interpret, op_dtype=lut_dtype,
                 stage=stage, vmem_mb=vmem_mb, qsuper=qsuper)
+
+        def scan_segment(packed_seg, kseg):
+            return scan_segment_with(Qj, Cf, nrm, packed_seg, kseg)
 
         def lut_rescan(qsel, starts, kfor):
             """Exact XLA LUT oracle over the listed segments for the
@@ -1491,61 +1497,86 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         nfull = index.n // seg
         rem = index.n - nfull * seg
         nq = Qj.shape[0]
-        if nfull >= 2 and k <= seg:
-            # lax.scan over the equal-size segments: ONE dispatch for
-            # all full segments instead of a host loop (120 segment
-            # launches at n=1e9 cost ~6 s in dispatch + slice copies);
-            # the ragged remainder is one extra call. The scan carries
-            # only SEGMENT INDICES and dynamic-slices each segment out
-            # of the resident array in-body: a reshaped (nfull, seg, w)
-            # xs operand materialized a full second copy of the packed
-            # base — fatal at n=1e9, where the base alone is 8 GB of
-            # the 16 GB chip (caught by the round-4 on-device 1b run).
-            wpk = index.packed.shape[1]
 
-            def body(carry, segi):
-                bs, bi = carry
-                pseg = lax.dynamic_slice(
-                    index.packed, (segi * seg, 0), (seg, wpk))
-                s, i, fl = scan_segment(pseg, k)
-                i = i + segi * seg
-                cs = jnp.concatenate([bs, s], axis=1)
-                ci = jnp.concatenate([bi, i], axis=1)
-                neg, loc = lax.top_k(-cs, k)       # (nq, 2k) merge
-                return ((-neg, jnp.take_along_axis(ci, loc, axis=1)),
-                        fl)
+        def _run_segments(Qv, Cfv, nrmv, packedv):
+            """The whole multi-segment scan + exact merge as ONE
+            traceable function of its device operands, so it can be
+            jitted and CACHED per (index, config): built eagerly, the
+            lax.scan graph re-traced and re-lowered on EVERY call —
+            a jax.profiler trace of a warm 1e8 call showed ~0.7-1.0 s
+            of pure host tracing/lowering against ~0.8 s of device
+            time (round 4)."""
+            if nfull >= 2 and k <= seg:
+                # lax.scan over the equal-size segments: ONE dispatch
+                # for all full segments instead of a host loop (120
+                # segment launches at n=1e9 cost ~6 s in dispatch +
+                # slice copies); the ragged remainder is one extra
+                # call. The scan carries only SEGMENT INDICES and
+                # dynamic-slices each segment out of the resident
+                # array in-body: a reshaped (nfull, seg, w) xs operand
+                # materialized a full second copy of the packed base —
+                # fatal at n=1e9, where the base alone is 8 GB of the
+                # 16 GB chip (caught by the round-4 on-device 1b run).
+                wpk = packedv.shape[1]
 
-            init = (jnp.full((nq, k), jnp.inf, jnp.float32),
-                    jnp.zeros((nq, k), jnp.int32))
-            (best_s, best_i), fls = lax.scan(
-                body, init, jnp.arange(nfull))
-            if rem:
-                s, i, fl = scan_segment(index.packed[nfull * seg:],
-                                        min(k, rem))
-                cs = jnp.concatenate([best_s, s], axis=1)
-                ci = jnp.concatenate([best_i, i + nfull * seg], axis=1)
-                neg, loc = lax.top_k(-cs, k)
-                best_s = -neg
-                best_i = jnp.take_along_axis(ci, loc, axis=1)
-                fls = jnp.concatenate([fls, fl[None]], axis=0)
-            fl_seg = np.asarray(fls)            # ONE host sync
-        else:
-            best_s = best_i = None
+                def body(carry, segi):
+                    bs, bi = carry
+                    pseg = lax.dynamic_slice(
+                        packedv, (segi * seg, 0), (seg, wpk))
+                    s, i, fl = scan_segment_with(Qv, Cfv, nrmv, pseg, k)
+                    i = i + segi * seg
+                    cs = jnp.concatenate([bs, s], axis=1)
+                    ci = jnp.concatenate([bi, i], axis=1)
+                    neg, loc = lax.top_k(-cs, k)   # (nq, 2k) merge
+                    return ((-neg,
+                             jnp.take_along_axis(ci, loc, axis=1)),
+                            fl)
+
+                init = (jnp.full((nq, k), jnp.inf, jnp.float32),
+                        jnp.zeros((nq, k), jnp.int32))
+                (bs, bi), fls = lax.scan(body, init, jnp.arange(nfull))
+                if rem:
+                    s, i, fl = scan_segment_with(
+                        Qv, Cfv, nrmv, packedv[nfull * seg:],
+                        min(k, rem))
+                    cs = jnp.concatenate([bs, s], axis=1)
+                    ci = jnp.concatenate([bi, i + nfull * seg], axis=1)
+                    neg, loc = lax.top_k(-cs, k)
+                    bs = -neg
+                    bi = jnp.take_along_axis(ci, loc, axis=1)
+                    fls = jnp.concatenate([fls, fl[None]], axis=0)
+                return bs, bi, fls
+            bs = bi = None
             fls = []
             for start, stop in bounds:
-                s, i, fl = scan_segment(index.packed[start:stop],
-                                        min(k, stop - start))
+                s, i, fl = scan_segment_with(
+                    Qv, Cfv, nrmv, packedv[start:stop],
+                    min(k, stop - start))
                 fls.append(fl)
                 i = i + start
-                if best_s is None:
-                    best_s, best_i = s, i
+                if bs is None:
+                    bs, bi = s, i
                 else:
-                    cat_s = jnp.concatenate([best_s, s], axis=1)
-                    cat_i = jnp.concatenate([best_i, i], axis=1)
-                    neg, loc = lax.top_k(-cat_s, k)  # (nq, <=2k) merge
-                    best_s = -neg
-                    best_i = jnp.take_along_axis(cat_i, loc, axis=1)
-            fl_seg = np.asarray(jnp.stack(fls))
+                    cat_s = jnp.concatenate([bs, s], axis=1)
+                    cat_i = jnp.concatenate([bi, i], axis=1)
+                    neg, loc = lax.top_k(-cat_s, k)  # (nq,<=2k) merge
+                    bs = -neg
+                    bi = jnp.take_along_axis(cat_i, loc, axis=1)
+            return bs, bi, jnp.stack(fls)
+
+        if interpret:
+            run = _run_segments
+        else:
+            ckey = (Qj.shape, Qj.dtype.name, k,
+                    jnp.dtype(lut_dtype).name, twopass, r, bq, tile,
+                    keep, stage, qsuper, vmem_mb, r_explicit,
+                    keep_explicit)
+            run = index._seg_fns.get(ckey)
+            if run is None:
+                run = jax.jit(_run_segments)
+                index._seg_fns[ckey] = run
+        best_s, best_i, fls = run(Qj, Cf, nrm, index.packed)
+        fl_seg = np.asarray(fls)                # ONE host sync
         if fl_seg.any():
             # the certificate is per (query, segment): repair only the
             # flagged segments with the deep exact kernel, not an XLA
