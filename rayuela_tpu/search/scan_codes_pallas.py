@@ -1624,3 +1624,56 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         ids = ids.at[qidx].set(i2)
     q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)
     return scores + q2, ids
+
+
+def search_codes_streamed(C, B_packed, Q, k: int, *,
+                          pq: bool = False, d: int | None = None,
+                          norms_cbook=None, mprime: int | None = None,
+                          shard_n: int = 100_000_000,
+                          interpret: bool = False,
+                          **kw) -> tuple[Array, Array]:
+    """Code-resident search over a base too large for HBM: packed
+    codes stay in HOST memory (a numpy array or an ``np.memmap`` over
+    an on-disk code file) and stream to the chip shard by shard; each
+    shard runs the full exact-unless-flagged `search_codes` pipeline
+    on a shard-local `CodesIndex` and the per-shard top-k lists merge
+    exactly on host.
+
+    The beyond-HBM rung of the memory-tiling ladder (reference
+    ``nsplits``, `src/LSQ_GPU.jl:218-264`): one chip already holds 1e9
+    codes resident (8 GB at m=8); this extends to bases bounded only
+    by host RAM/disk at the cost of host->device bandwidth per query
+    batch. Equal shard shapes reuse one compiled executable (the
+    shard-local index caches its jitted segmented graph per config).
+
+    ``B_packed``: ``(n, ceil(m'/4)) int32`` in `pack_codes` layout
+    (norms byte included for additive methods — pass ``mprime``).
+    """
+    B_packed = np.asarray(B_packed) if not isinstance(B_packed, np.memmap) \
+        else B_packed
+    n, nw = B_packed.shape
+    mp = nw * 4 if mprime is None else mprime
+    Cj = jnp.asarray(C)
+    Qj = jnp.asarray(Q)
+    d = Qj.shape[1] if d is None else d
+    best_s = best_i = None
+    for start in range(0, n, shard_n):
+        stop = min(start + shard_n, n)
+        pk = jax.device_put(jnp.asarray(np.ascontiguousarray(
+            B_packed[start:stop])))
+        idx = CodesIndex(pk, mp, Cj, pq=pq, d=d,
+                         norms_cbook=None if norms_cbook is None
+                         else jnp.asarray(norms_cbook))
+        s, i = search_codes(idx, Qj, min(k, stop - start),
+                            interpret=interpret, **kw)
+        s, i = np.asarray(s), np.asarray(i) + start
+        del idx, pk
+        if best_s is None:
+            best_s, best_i = s, i
+        else:
+            cat_s = np.concatenate([best_s, s], axis=1)
+            cat_i = np.concatenate([best_i, i], axis=1)
+            order = np.argsort(cat_s, axis=1, kind="stable")[:, :k]
+            best_s = np.take_along_axis(cat_s, order, axis=1)
+            best_i = np.take_along_axis(cat_i, order, axis=1)
+    return jnp.asarray(best_s), jnp.asarray(best_i)

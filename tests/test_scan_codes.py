@@ -705,3 +705,40 @@ def test_segmented_norms_byte_matches_single(rng, monkeypatch):
     picked = np.take_along_axis(D, np.asarray(i2), axis=1)
     np.testing.assert_allclose(picked, np.asarray(d2), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_search_codes_streamed_matches_resident(rng, tmp_path):
+    """Host-resident packed codes streamed in shards == one resident
+    index, exactly (values; ids rank-exact) — incl. from an on-disk
+    np.memmap, the beyond-HBM deployment shape."""
+    from rayuela_tpu.search import scan_codes_pallas as scp
+    d, m, h, n, nq, k = 16, 4, 16, 5000, 6, 20
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    idx = scp.build_codes_index(jnp.asarray(C), jnp.asarray(B),
+                                pq=True, d=d)
+    kw = dict(interpret=True, lut_dtype=jnp.float32,
+              r=28, bq=8, tile=1024, keep=4)
+    d1, i1 = scp.search_codes(idx, jnp.asarray(Q), k, **kw)
+    packed_host = np.asarray(idx.packed)
+    d2, i2 = scp.search_codes_streamed(
+        jnp.asarray(C), packed_host, jnp.asarray(Q), k, pq=True, d=d,
+        shard_n=1500, **kw)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-4, atol=1e-3)
+    # memmap source (on-disk codes)
+    f = tmp_path / "codes.packed"
+    packed_host.tofile(f)
+    mm = np.memmap(f, dtype=np.int32, mode="r",
+                   shape=packed_host.shape)
+    d3, i3 = scp.search_codes_streamed(
+        jnp.asarray(C), mm, jnp.asarray(Q), k, pq=True, d=d,
+        shard_n=1500, **kw)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i2))
+    # rank-exactness of streamed ids
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    Xd = np.asarray(reconstruct_pq(jnp.asarray(C), jnp.asarray(B), d))
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    picked = np.take_along_axis(D, np.asarray(i2), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(d2), rtol=1e-4,
+                               atol=1e-3)
