@@ -204,6 +204,44 @@ def sharded_search(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
     return fn(Q, Xp, x2p)
 
 
+def _scan_shard_segments(scan_one, packed, nq: int, klocal: int):
+    """Run ``scan_one(packed_seg, kseg)`` over `_DECODE_SEG`-row
+    segments of one shard with an exact in-shard top-k merge — lifts
+    the kernel's per-call packed-id range (8.4M rows) to the whole
+    shard, so e.g. SIFT1B on an 8-chip slice (1.25e8 rows/chip) runs
+    without a host round-trip. The mirror of the single-chip
+    segmented path (`scan_codes_pallas.search_codes`), inside
+    `shard_map`."""
+    from rayuela_tpu.search.scan_codes_pallas import _DECODE_SEG
+    seg = _DECODE_SEG
+    shard_n = packed.shape[0]
+    if shard_n <= seg:
+        return scan_one(packed, klocal)
+    nfull, rem = shard_n // seg, shard_n % seg
+    wpk = packed.shape[1]
+
+    def merge(bs, bi, bf, s, i, fl):
+        cs = jnp.concatenate([bs, s], axis=1)
+        ci = jnp.concatenate([bi, i], axis=1)
+        neg, loc = jax.lax.top_k(-cs, klocal)
+        return -neg, jnp.take_along_axis(ci, loc, axis=1), bf | fl
+
+    def body(carry, segi):
+        pseg = jax.lax.dynamic_slice(packed, (segi * seg, 0),
+                                     (seg, wpk))
+        s, i, fl = scan_one(pseg, min(klocal, seg))
+        return merge(*carry, s, i + segi * seg, fl), None
+
+    init = (jnp.full((nq, klocal), jnp.inf, jnp.float32),
+            jnp.zeros((nq, klocal), jnp.int32),
+            jnp.zeros((nq,), jnp.bool_))
+    (bs, bi, bf), _ = jax.lax.scan(body, init, jnp.arange(nfull))
+    if rem:
+        s, i, fl = scan_one(packed[nfull * seg:], min(klocal, rem))
+        bs, bi, bf = merge(bs, bi, bf, s, i + nfull * seg, fl)
+    return bs, bi, bf
+
+
 @_functools.lru_cache(maxsize=64)
 def _sharded_search_codes_fn(mesh: Mesh, n: int, shard_n: int,
                              klocal: int, k: int, r: int, bq: int,
@@ -216,10 +254,14 @@ def _sharded_search_codes_fn(mesh: Mesh, n: int, shard_n: int,
     ndata = mesh.shape["data"]
 
     def local(T, packed):
-        d, i, fl = pallas_scan_codes_topk(
-            T, packed, k=klocal, r=r, bq=bq, tile=tile, verify=True,
-            interpret=interpret, lut_dtype=lut_dtype, pack=pack,
-            keep=keep)
+        def scan_one(pseg, kseg):
+            return pallas_scan_codes_topk(
+                T, pseg, k=kseg, r=r, bq=bq, tile=tile, verify=True,
+                interpret=interpret, lut_dtype=lut_dtype, pack=pack,
+                keep=keep)
+
+        d, i, fl = _scan_shard_segments(scan_one, packed, T.shape[2],
+                                        klocal)
         shard = jax.lax.axis_index("data")
         i = i + shard * shard_n
         d = jnp.where(i < n, d, jnp.inf)
@@ -245,7 +287,9 @@ def sharded_search_codes(mesh: Mesh, T: Array, packed: Array, *,
                          pack: bool | None = None):
     """Multi-chip CODE-RESIDENT search: packed uint8 codes shard over
     ``data`` (each chip holds n/P * ~m bytes — a SIFT1B-class base at
-    m=8 is ~1.1 GB/chip on an 8-chip slice), the per-query LUT stack
+    m=8 is ~1.1 GB/chip on an 8-chip slice; shards beyond the kernel's
+    8.4M packed-id range segment in-shard with an exact merge,
+    `_scan_shard_segments`), the per-query LUT stack
     replicates (m'·h·nq f32, tiny), each chip runs the code-resident
     kernel on its shard, and the (nq, k) partial lists merge with one
     all-gather + top-k. Same memory model as the reference's
@@ -295,11 +339,15 @@ def _sharded_search_codes_decode_fn(mesh: Mesh, n: int, shard_n: int,
     ndata = mesh.shape["data"]
 
     def local(Q, Cf, nrm, packed):
-        d, i, fl = pallas_scan_codes_decode_topk(
-            Q, Cf, nrm, packed, k=klocal, pq=pq, r=r, bq=bq, tile=tile,
-            keep=keep, verify=True, interpret=interpret,
-            op_dtype=op_dtype, qsuper=qsuper,
-            vmem_mb=128 if qsuper > 1 else None)
+        def scan_one(pseg, kseg):
+            return pallas_scan_codes_decode_topk(
+                Q, Cf, nrm, pseg, k=kseg, pq=pq, r=r, bq=bq,
+                tile=tile, keep=keep, verify=True,
+                interpret=interpret, op_dtype=op_dtype, qsuper=qsuper,
+                vmem_mb=128 if qsuper > 1 else None)
+
+        d, i, fl = _scan_shard_segments(scan_one, packed, Q.shape[0],
+                                        klocal)
         shard = jax.lax.axis_index("data")
         i = i + shard * shard_n
         d = jnp.where(i < n, d, jnp.inf)
@@ -333,10 +381,11 @@ def sharded_search_codes_decode(mesh: Mesh, Q: Array, C: Array,
     (the default single-chip mode, 1.4-1.7x the LUT mode on hardware):
     packed codes shard over ``data``; queries, flattened codebooks and
     the norms table replicate (tiny); each chip decodes its tiles
-    in-kernel and merges with one all-gather + top-k. Per-shard rows
-    must fit the packed-id range (8.4M/chip — a 67M-vector base on an
-    8-chip slice); beyond that, segment per shard as
-    `search_codes` does, or use `sharded_search_codes` (LUT mode).
+    in-kernel and merges with one all-gather + top-k. Shards beyond
+    the kernel's packed-id range (8.4M rows/call) segment in-shard
+    with an exact `lax.scan` merge (`_scan_shard_segments`) — a
+    SIFT1B-class base on an 8-chip slice (1.25e8 rows/chip) runs in
+    15 segments per chip with no host round-trips.
 
     Returns ``(scores, ids, flagged)``; scores exclude +|q|^2."""
     import jax.numpy as _jnp

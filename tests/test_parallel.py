@@ -381,3 +381,34 @@ def test_sharded_encoding_icm_matches_budget(rng, mesh):
                              ilsiter=2, icmiter=2, npert=1, chunk=128)
     assert B.shape == (n, m)
     assert float(qerror(X, C, B)) <= float(qerror(X, C, B0)) + 1e-5
+
+
+def test_sharded_codes_search_segments_big_shards(rng, mesh,
+                                                  monkeypatch):
+    """Shards beyond the kernel's packed-id range segment IN-SHARD
+    (`_scan_shard_segments`) with an exact merge — force tiny segments
+    and compare both sharded code paths against the XLA LUT oracle."""
+    from rayuela_tpu.parallel import mesh as pmesh
+    from rayuela_tpu.search import scan_codes_pallas as scp
+    d, m, h, n, nq, k = 16, 4, 16, 5000, 6, 15
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    T = scp.build_luts(jnp.asarray(C), Q, pq=True, d=d)
+    packed = scp.pack_codes(jnp.asarray(B))
+    s_ref, i_ref = scp.xla_lut_scan(T, jnp.asarray(B), k)
+    monkeypatch.setattr(scp, "_DECODE_SEG", 512)  # shard_n=1250 > 512
+    s_sh, i_sh, fl = pmesh.sharded_search_codes(
+        mesh, T, packed, k=k, r=16, bq=8, tile=2048,
+        lut_dtype=jnp.float32, interpret=True)
+    assert not np.asarray(fl).any()
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-3)
+    Cf, nrm = scp.build_decode_operands(jnp.asarray(C), pq=True, d=d,
+                                        op_dtype=jnp.float32)
+    s_dc, i_dc, fl2 = pmesh.sharded_search_codes_decode(
+        mesh, Q, jnp.asarray(C), packed, k=k, pq=True, d=d,
+        r=24, bq=8, tile=1024, keep=0, op_dtype=jnp.float32,
+        interpret=True)
+    assert not np.asarray(fl2).any()
+    np.testing.assert_allclose(np.asarray(s_dc), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-3)
