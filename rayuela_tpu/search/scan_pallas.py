@@ -1513,6 +1513,46 @@ def _auto_config(k: int, nq: int, pack: bool, f32_index: bool = False,
     return r, min(bq, bqnq), tile, keep, stage, premin
 
 
+# decoded-path segment size: the largest base whose padded rows fit
+# the 16-bit pack32 row-id field (mirrors `scan_codes_pallas._DECODE_SEG`)
+_SEG_DECODED = (1 << 16) * LANES
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "r", "bq", "tile", "keep",
+                                    "stage", "vmem_mb", "nfull", "rem",
+                                    "interpret"))
+def _scan_topk_segments(Q, Xd, x2, *, k, r, bq, tile, keep, stage,
+                        vmem_mb, nfull, rem, interpret):
+    """Decoded bases beyond the pack32 row-id range: run the fused
+    kernel per `_SEG_DECODED`-row segment (static Python loop — at
+    most ~6 segments fit HBM decoded) with an exact on-device top-k
+    merge; per-segment certificate flags OR together for the caller's
+    one host check."""
+    seg = _SEG_DECODED
+    best_d = best_i = fl_any = None
+    sizes = [seg] * nfull + ([rem] if rem else [])
+    for si, sz in enumerate(sizes):
+        st = si * seg
+        Xs = lax.dynamic_slice(Xd, (st, 0), (sz, Xd.shape[1]))
+        x2s = lax.dynamic_slice(x2, (st,), (sz,))
+        dv, iv, fl = pallas_scan_topk(
+            Q, Xs, x2s, k=min(k, sz), r=r, bq=bq, tile=tile,
+            verify=True, interpret=interpret, pack=True, keep=keep,
+            stage=stage, vmem_mb=vmem_mb)
+        iv = iv + st
+        if best_d is None:
+            best_d, best_i, fl_any = dv, iv, fl
+        else:
+            cd = jnp.concatenate([best_d, dv], axis=1)
+            ci = jnp.concatenate([best_i, iv], axis=1)
+            neg, loc = lax.top_k(-cd, k)
+            best_d = -neg
+            best_i = jnp.take_along_axis(ci, loc, axis=1)
+            fl_any = fl_any | fl
+    return best_d, best_i, fl_any
+
+
 def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
            bq: int | None = None, tile: int | None = None,
            interpret: bool = False, pack: bool | None = None,
@@ -1565,7 +1605,18 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
                and cdiv(index.n, tile) * tile // LANES <= (1 << 15))
     if vmem_mb is None and (tile > 4096 or stage):
         vmem_mb = 64          # beyond the 16 MB scoped-VMEM default
-    if premin and pack:
+    if pack and cdiv(index.n, tile) * tile > _SEG_DECODED:
+        # beyond the pack32 row-id range (8.4M rows/call, same bound
+        # as the codes path): segment on device with an exact merge.
+        # Without this the kernel compile failed opaquely at n=9.1e6 —
+        # a size that fits HBM decoded (round 4). Flags defer to one
+        # combined host check; premin is per-call machinery, dropped.
+        dists, ids, flagged = _scan_topk_segments(
+            Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
+            keep=keep, stage=stage, vmem_mb=vmem_mb,
+            nfull=index.n // _SEG_DECODED, rem=index.n % _SEG_DECODED,
+            interpret=interpret)
+    elif premin and pack:
         # lossy pre-filter + IN-GRAPH fixed-slot exact rescue: one
         # dispatch total (the host-side rescue ladder's extra dispatch
         # + tunnel RTT made premin LOSE e2e in round 2, BASELINE.md)

@@ -730,3 +730,26 @@ def test_score16_validation(rng):
         pallas_scan_topk(jnp.asarray(Q), jnp.asarray(Xd), x2, k=4,
                          r=14, bq=4, tile=256, pack=True, qbias=True,
                          score16=True, interpret=True)
+
+
+def test_decoded_search_segments_beyond_id_range(rng, monkeypatch):
+    """Decoded bases past the pack32 row-id range segment on device
+    with an exact merge (round 4: the unsegmented kernel compile
+    failed opaquely at n=9.1e6, a size that fits HBM decoded) — force
+    tiny segments and compare against the unsegmented packed path."""
+    from rayuela_tpu.search import scan_pallas as sp
+    n, d, nq, k = 5000, 32, 9, 20
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    Xj, x2 = jnp.asarray(Xd), jnp.sum(jnp.asarray(Xd) ** 2, -1)
+    idx = sp.LinscanIndex(Xj, x2)
+    kw = dict(interpret=True, pack=True, r=14, bq=8, tile=1024, keep=2)
+    Q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    d1, i1 = sp.search(idx, Q, k, **kw)
+    monkeypatch.setattr(sp, "_SEG_DECODED", 2048)
+    d2, i2 = sp.search(idx, Q, k, **kw)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-4, atol=1e-3)
+    D = ((np.asarray(Q)[:, None, :] - Xd[None]) ** 2).sum(-1)
+    picked = np.take_along_axis(D, np.asarray(i2), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(d2), rtol=1e-4,
+                               atol=1e-3)
