@@ -140,11 +140,15 @@ def _sharded_search_fn(mesh: Mesh, n: int, shard_n: int, klocal: int,
     ndata = mesh.shape["data"]
 
     def local(Q, Xd, x2):
-        d, i, fl = pallas_scan_topk(Q, Xd, x2, k=klocal, r=r, bq=bq,
+        def scan_one(Xs, x2s, kseg):
+            return pallas_scan_topk(Q, Xs, x2s, k=kseg, r=r, bq=bq,
                                     tile=tile, verify=True,
                                     interpret=interpret, pack=pack,
                                     keep=keep, stage=stage,
                                     vmem_mb=vmem_mb)
+
+        d, i, fl = _scan_shard_segments_decoded(
+            scan_one, Xd, x2, Q.shape[0], klocal, pack)
         shard = jax.lax.axis_index("data")
         i = i + shard * shard_n
         d = jnp.where(i < n, d, jnp.inf)
@@ -202,6 +206,38 @@ def sharded_search(mesh: Mesh, Xd: Array, x2: Array, Q: Array, *,
                             stage if pack else 0,
                             64 if (stage or tile > 4096) else None)
     return fn(Q, Xp, x2p)
+
+
+def _scan_shard_segments_decoded(scan_one, Xd, x2, nq: int,
+                                 klocal: int, pack: bool):
+    """Decoded analogue of `_scan_shard_segments`: shards of a
+    DECODED sharded index beyond the pack32 row-id range run the
+    fused kernel per `_SEG_DECODED`-row segment with an exact
+    in-shard merge (unpacked mode has no id field and needs none)."""
+    from rayuela_tpu.search.scan_pallas import _SEG_DECODED
+    seg = _SEG_DECODED
+    shard_n = Xd.shape[0]
+    if not pack or shard_n <= seg:
+        return scan_one(Xd, x2, klocal)
+    nfull, rem = shard_n // seg, shard_n % seg
+    sizes = [seg] * nfull + ([rem] if rem else [])
+    bs = bi = bf = None
+    for si, sz in enumerate(sizes):
+        st = si * seg
+        Xs = jax.lax.dynamic_slice(Xd, (st, 0), (sz, Xd.shape[1]))
+        x2s = jax.lax.dynamic_slice(x2, (st,), (sz,))
+        s, i, fl = scan_one(Xs, x2s, min(klocal, sz))
+        i = i + st
+        if bs is None:
+            bs, bi, bf = s, i, fl
+        else:
+            cs = jnp.concatenate([bs, s], axis=1)
+            ci = jnp.concatenate([bi, i], axis=1)
+            neg, loc = jax.lax.top_k(-cs, klocal)
+            bs = -neg
+            bi = jnp.take_along_axis(ci, loc, axis=1)
+            bf = bf | fl
+    return bs, bi, bf
 
 
 def _scan_shard_segments(scan_one, packed, nq: int, klocal: int):

@@ -1215,6 +1215,13 @@ def pallas_scan_topk(Q: Array, Xd: Array, x2: Array, *, k: int,
     nqp = cdiv(nq, bq) * bq
     ntiles, nqb = npad // tile, nqp // bq
     idbits = _pack_idbits(pack, npad)
+    if pack and not idbits:
+        # beyond the 16-bit row-id field the packed keys are malformed
+        # and the compile fails opaquely (observed at n=9.1e6) —
+        # callers segment (`search`, `mesh._scan_shard_segments_decoded`)
+        raise ValueError(
+            f"n={n} (padded {npad}) exceeds the pack32 row-id range "
+            f"({_SEG_DECODED} rows/call); segment the base")
 
     # A bf16 index halves the X-tile DMA and doubles MXU rate; match
     # the query operand so the distance matmul is single-dtype

@@ -412,3 +412,32 @@ def test_sharded_codes_search_segments_big_shards(rng, mesh,
     assert not np.asarray(fl2).any()
     np.testing.assert_allclose(np.asarray(s_dc), np.asarray(s_ref),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_decoded_search_segments_big_shards(rng, mesh,
+                                                    monkeypatch):
+    """Decoded sharded search with shards beyond the pack32 row-id
+    range: in-shard segmentation (`_scan_shard_segments_decoded`)
+    must keep results identical to the unsegmented path."""
+    from rayuela_tpu.parallel import mesh as pmesh
+    from rayuela_tpu.search import scan_pallas as sp
+    n, d, nq, k = 5000, 32, 6, 15
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    Xj, x2 = jnp.asarray(Xd), jnp.sum(jnp.asarray(Xd) ** 2, -1)
+    Q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    kw = dict(k=k, r=14, bq=8, tile=1024, interpret=True, pack=True)
+    d1, i1 = pmesh.sharded_search_exact(mesh, Xj, x2, Q, **kw)
+    monkeypatch.setattr(sp, "_SEG_DECODED", 1024)  # shard_n=1250 > 1024
+    # small segments legitimately flag more often (keep pre-reduction
+    # concentrates the global top-k per tile); the exact wrapper
+    # repairs them, so results must stay exact
+    d2, i2 = pmesh.sharded_search_exact(mesh, Xj, x2, Q, **kw)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-4, atol=1e-3)
+    D = ((np.asarray(Q)[:, None, :] - Xd[None]) ** 2).sum(-1)
+    ref = np.sort(D, 1)[:, :k]
+    np.testing.assert_allclose(np.asarray(d2), ref, rtol=1e-4,
+                               atol=1e-3)
+    picked = np.take_along_axis(D, np.asarray(i2), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(d2), rtol=1e-4,
+                               atol=1e-3)
