@@ -130,9 +130,21 @@ def train_compq(X: Array, C0: Array, B0: Array, niter: int = 10,
             oh = one_hot(B[:, i], h)                   # (n, h)
             grad = jnp.matmul(oh.T, Xr,
                               preferred_element_type=jnp.float32)
+            # The reference applies its rule per VECTOR online
+            # (residuals refresh as the center moves,
+            # `src/CompetitiveQ.jl:44-58`): over one epoch a center
+            # visited `cnt` times decays toward its residual mean by
+            # 1-(1-2lr)^cnt. A batch step at STALE residuals must cap
+            # the equivalent total step at that converged value or the
+            # effective factor 2·lr·cnt scales with n/h — at the
+            # protocol's n=1e5 it reaches ~1.1 per iteration and
+            # training diverges (obj 75.5 -> 81.7 at n=2e4 by iter 8,
+            # recall@1 0.0004 at n=1e5; measured round 4).
+            cnt = jnp.maximum(jnp.sum(oh, axis=0, keepdims=True).T, 1.0)
+            step = 1.0 - (1.0 - 2.0 * lrs[i]) ** cnt   # in (0, 1)
             Ci = lax.dynamic_index_in_dim(C, i, 0, keepdims=False)
             return lax.dynamic_update_index_in_dim(
-                C, Ci + 2.0 * lrs[i] * grad, i, axis=0)
+                C, Ci + step * grad / cnt, i, axis=0)
 
         C = lax.fori_loop(0, m, upd, C)
         return C, B, obj
