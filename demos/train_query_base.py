@@ -40,6 +40,10 @@ def main():
                                            "query_base"],
                     default="train_query_base")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip (method, trial) pairs already in the "
+                         "results store — the reference's staged-HDF5 "
+                         "crash recovery")
     args = ap.parse_args()
 
     from rayuela_tpu.experiments.drivers import (ALL_METHODS,
@@ -53,7 +57,8 @@ def main():
               if args.protocol == "train_query_base" else run_query_base)
     results = runner(args.dataset, m=args.m, h=args.h, niter=args.niter,
                      ntrials=args.ntrials, knn=args.knn, methods=methods,
-                     results_dir=args.results_dir, seed=args.seed)
+                     results_dir=args.results_dir, seed=args.seed,
+                     resume=args.resume)
 
     name = args.dataset
     print("\n=== recall summary ===")
