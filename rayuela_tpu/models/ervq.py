@@ -87,3 +87,13 @@ def train_ervq_from_scratch(key: Array, X: Array, m: int, h: int = 256,
     from rayuela_tpu.models.rvq import train_rvq
     model, B, _ = train_rvq(key, X, m, h, niter)
     return train_ervq(X, B, model.codebooks, niter)
+
+
+def quantize_ervq(model, X: Array):
+    """Encode with an ERVQ model — identical to RVQ's greedy sequential
+    encoder, exactly as in the reference (`src/ERVQ.jl:19-26`, which
+    forwards ``quantize_ervq`` to ``quantize_rvq``): ERVQ changes how
+    the codebooks are *trained*, not how vectors are encoded."""
+    from rayuela_tpu.models.rvq import quantize_rvq
+
+    return quantize_rvq(model, X)

@@ -71,3 +71,17 @@ def test_norms_codebook_roundtrip(rng):
     np.testing.assert_allclose(err_q, err_all.min(1), rtol=1e-4, atol=1e-4)
     # and the k-means codes from training should agree with re-assignment
     np.testing.assert_array_equal(np.asarray(codes), np.asarray(ncodes))
+
+
+def test_quantize_ervq_is_rvq_encoder(rng):
+    """`quantize_ervq` == `quantize_rvq` (the reference forwards one to
+    the other, `src/ERVQ.jl:19-26`) — ERVQ changes training only."""
+    import jax
+    from rayuela_tpu.models.ervq import quantize_ervq, train_ervq_from_scratch
+    from rayuela_tpu.models.rvq import quantize_rvq
+    X = jnp.asarray(rng.standard_normal((500, 16)).astype(np.float32))
+    model, B, _ = train_ervq_from_scratch(jax.random.PRNGKey(0), X, 3,
+                                          h=16, niter=2)
+    Ba, _ = quantize_ervq(model, X)
+    Bb, _ = quantize_rvq(model, X)
+    np.testing.assert_array_equal(np.asarray(Ba), np.asarray(Bb))
