@@ -11,6 +11,10 @@ Data model (row-major, 0-based — see `rayuela_tpu.utils`):
   X (n, d) f32 · C (m, h, d) or (m, h, d/m) f32 · B (n, m) int32.
 """
 
-from rayuela_tpu import utils  # noqa: F401
+from rayuela_tpu import api, utils  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "1.0.0"          # keep in sync with pyproject.toml
+                               # (tests/test_packaging.py enforces it)
+
+__all__ = ["api", "experiments", "io", "models", "ops", "parallel",
+           "search", "utils", "__version__"]

@@ -246,12 +246,15 @@ def search(index: MCQIndex, Q, k: int = 100, mesh=None,
             fl = np.asarray(fl)
             if fl.any():
                 # certificate-flagged queries re-run exactly through
-                # the XLA LUT scan (same contract as single-chip)
+                # the TILED XLA LUT oracle (segment x query-block
+                # merge; same contract as single-chip). A whole-base
+                # unpack_codes + xla_lut_scan here materialized ~4*m
+                # bytes/vector + an (nflagged, n) score matrix — OOM
+                # at n >= 1e8 (VERDICT r4 #1)
                 qidx = np.nonzero(fl)[0]
-                s2, i2 = scan_codes_pallas.xla_lut_scan(
-                    T[:, :, qidx], scan_codes_pallas.unpack_codes(
-                        index.scan_index.packed,
-                        index.scan_index.mprime), k)
+                s2, i2 = scan_codes_pallas._xla_lut_scan_tiled(
+                    index.scan_index, Q[qidx], k, d,
+                    kw.get("lut_dtype", jnp.float32))
                 s = s.at[qidx].set(s2)
                 i = i.at[qidx].set(i2)
             q2 = jnp.sum(Q * Q, axis=-1, keepdims=True)

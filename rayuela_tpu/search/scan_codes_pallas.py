@@ -978,6 +978,14 @@ class CodesIndex:
         # jitted segmented-scan executables keyed by (Q shape, k,
         # config): eager retrace cost ~0.7-1.0 s per 1e8-scale call
         self._seg_fns: dict = {}
+        # per-segment sub-indexes of the big-base LUT-mode fallback,
+        # keyed by segment start: reused across calls so the packed
+        # device slices (and the sub-indexes' own caches) are built
+        # once, not per call (ADVICE r4). Memory: the slices together
+        # hold a second copy of `packed` once every segment has been
+        # visited — acceptable for this rarely-taken fallback (decode
+        # mode is the at-scale default and never populates this)
+        self._lut_subs: dict = {}
 
     def decode_operands(self, d: int, op_dtype):
         """Cached `build_decode_operands` result: the flattened
@@ -1081,34 +1089,37 @@ def _rescue_segments(Qj, Cf, nrm, index, best_s, best_i, fl_seg, bounds,
 def _xla_lut_scan_tiled(index: "CodesIndex", Qj: Array, k: int, d: int,
                         lut_dtype, qblock: int = 128,
                         seg: int = 1 << 19) -> tuple[Array, Array]:
-    """Exact XLA LUT oracle over the whole base, tiled over query
-    blocks x base segments with an exact top-k merge, so the per-call
+    """Exact XLA LUT oracle over the whole base, tiled over base
+    segments x query blocks with an exact top-k merge, so the per-call
     (qblock, seg) score matrix and its (qblock, seg, m') gather
-    intermediate stay ~2 GB instead of scaling with nq*n. Scores
-    exclude the +|q|^2 constant (callers add it)."""
+    intermediate stay ~2 GB instead of scaling with nq*n. The segment
+    loop is OUTER so each base segment is sliced + unpacked exactly
+    once (unpacking per query block redid that ~nq/qblock = ~78x at
+    nq=1e4 — ADVICE r4). Scores exclude the +|q|^2 constant (callers
+    add it)."""
     nq = Qj.shape[0]
-    out_s, out_i = [], []
-    for q0 in range(0, nq, qblock):
-        Tq = build_luts(index.C, Qj[q0:q0 + qblock], pq=index.pq, d=d,
-                        norms_cbook=index.norms_cbook)
-        bs = bi = None
-        for st in range(0, index.n, seg):
-            stop = min(st + seg, index.n)
-            s2, i2 = xla_lut_scan(
-                Tq, unpack_codes(index.packed[st:stop], index.mprime),
-                min(k, stop - st), lut_dtype=lut_dtype)
+    blocks = [(q0, min(q0 + qblock, nq))
+              for q0 in range(0, nq, qblock)]
+    Ts = [build_luts(index.C, Qj[a:b], pq=index.pq, d=d,
+                     norms_cbook=index.norms_cbook) for a, b in blocks]
+    bs: list = [None] * len(blocks)
+    bi: list = [None] * len(blocks)
+    for st in range(0, index.n, seg):
+        stop = min(st + seg, index.n)
+        Bseg = unpack_codes(index.packed[st:stop], index.mprime)
+        for j in range(len(blocks)):
+            s2, i2 = xla_lut_scan(Ts[j], Bseg, min(k, stop - st),
+                                  lut_dtype=lut_dtype)
             i2 = i2 + st
-            if bs is None:
-                bs, bi = s2, i2
+            if bs[j] is None:
+                bs[j], bi[j] = s2, i2
             else:
-                cs = jnp.concatenate([bs, s2], axis=1)
-                ci = jnp.concatenate([bi, i2], axis=1)
+                cs = jnp.concatenate([bs[j], s2], axis=1)
+                ci = jnp.concatenate([bi[j], i2], axis=1)
                 neg, loc = lax.top_k(-cs, min(k, cs.shape[1]))
-                bs = -neg
-                bi = jnp.take_along_axis(ci, loc, axis=1)
-        out_s.append(bs)
-        out_i.append(bi)
-    return jnp.concatenate(out_s, 0), jnp.concatenate(out_i, 0)
+                bs[j] = -neg
+                bi[j] = jnp.take_along_axis(ci, loc, axis=1)
+    return jnp.concatenate(bs, 0), jnp.concatenate(bi, 0)
 
 
 # in-graph rescue slots for the fused single-segment path (cost when
@@ -1282,9 +1293,12 @@ def search_codes(index: CodesIndex, Q: Array, k: int, *,
         best_s = best_i = None
         for st in range(0, index.n, _DECODE_SEG):
             stop = min(st + _DECODE_SEG, index.n)
-            sub = CodesIndex(index.packed[st:stop], index.mprime,
-                             index.C, pq=index.pq, d=index.d,
-                             norms_cbook=index.norms_cbook)
+            sub = index._lut_subs.get(st)
+            if sub is None:
+                sub = CodesIndex(index.packed[st:stop], index.mprime,
+                                 index.C, pq=index.pq, d=index.d,
+                                 norms_cbook=index.norms_cbook)
+                index._lut_subs[st] = sub
             s, i = search_codes(sub, Q, min(k, stop - st), r=r, bq=bq,
                                 tile=tile, interpret=interpret,
                                 lut_dtype=lut_dtype, pack=pack,
@@ -1657,17 +1671,28 @@ def search_codes_streamed(C, B_packed, Q, k: int, *,
     Qj = jnp.asarray(Q)
     d = Qj.shape[1] if d is None else d
     best_s = best_i = None
+    # one CodesIndex per shard SHAPE, with the packed buffer swapped in
+    # per shard: the per-instance _seg_fns trace cache survives across
+    # equal-shape shards (a fresh index per shard paid the ~0.7-1.0 s
+    # trace/lower cost once per shard — ADVICE r4); replacing .packed
+    # also releases the previous shard's device buffer
+    idx_by_shape: dict = {}
+    nc = None if norms_cbook is None else jnp.asarray(norms_cbook)
     for start in range(0, n, shard_n):
         stop = min(start + shard_n, n)
         pk = jax.device_put(jnp.asarray(np.ascontiguousarray(
             B_packed[start:stop])))
-        idx = CodesIndex(pk, mp, Cj, pq=pq, d=d,
-                         norms_cbook=None if norms_cbook is None
-                         else jnp.asarray(norms_cbook))
+        idx = idx_by_shape.get(pk.shape)
+        if idx is None:
+            idx = CodesIndex(pk, mp, Cj, pq=pq, d=d, norms_cbook=nc)
+            idx_by_shape[pk.shape] = idx
+        else:
+            idx.packed = pk
+            idx._lut_subs.clear()   # held slices of the old buffer
         s, i = search_codes(idx, Qj, min(k, stop - start),
                             interpret=interpret, **kw)
         s, i = np.asarray(s), np.asarray(i) + start
-        del idx, pk
+        del pk
         if best_s is None:
             best_s, best_i = s, i
         else:

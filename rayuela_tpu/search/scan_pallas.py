@@ -1528,14 +1528,15 @@ _SEG_DECODED = (1 << 16) * LANES
 @functools.partial(jax.jit,
                    static_argnames=("k", "r", "bq", "tile", "keep",
                                     "stage", "vmem_mb", "nfull", "rem",
-                                    "interpret"))
+                                    "interpret", "qbias"))
 def _scan_topk_segments(Q, Xd, x2, *, k, r, bq, tile, keep, stage,
-                        vmem_mb, nfull, rem, interpret):
+                        vmem_mb, nfull, rem, interpret, qbias=False):
     """Decoded bases beyond the pack32 row-id range: run the fused
     kernel per `_SEG_DECODED`-row segment (static Python loop — at
     most ~6 segments fit HBM decoded) with an exact on-device top-k
     merge; per-segment certificate flags OR together for the caller's
-    one host check."""
+    one host check. ``qbias`` is per-call kernel machinery and passes
+    straight through (each segment is a full kernel call)."""
     seg = _SEG_DECODED
     best_d = best_i = fl_any = None
     sizes = [seg] * nfull + ([rem] if rem else [])
@@ -1546,7 +1547,7 @@ def _scan_topk_segments(Q, Xd, x2, *, k, r, bq, tile, keep, stage,
         dv, iv, fl = pallas_scan_topk(
             Q, Xs, x2s, k=min(k, sz), r=r, bq=bq, tile=tile,
             verify=True, interpret=interpret, pack=True, keep=keep,
-            stage=stage, vmem_mb=vmem_mb)
+            stage=stage, vmem_mb=vmem_mb, qbias=qbias)
         iv = iv + st
         if best_d is None:
             best_d, best_i, fl_any = dv, iv, fl
@@ -1582,6 +1583,8 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
     buffer VMEM; the result is the exact top-k of the truncated scores
     (see `pallas_scan_topk`)."""
     k = min(k, index.n)       # never return padded (inf, fake-id) rows
+    premin_arg = bool(premin)          # explicitly requested modes,
+    score16_arg = score16 is True      # before auto-config defaults
     if k > 96 * LANES and r is None:
         # beyond the deepest swept kernel config's buffer (r=96): the
         # exact XLA path handles any k <= n (out-of-protocol regime —
@@ -1617,12 +1620,27 @@ def search(index: LinscanIndex, Q: Array, k: int, *, r: int | None = None,
         # as the codes path): segment on device with an exact merge.
         # Without this the kernel compile failed opaquely at n=9.1e6 —
         # a size that fits HBM decoded (round 4). Flags defer to one
-        # combined host check; premin is per-call machinery, dropped.
+        # combined host check. qbias passes through (per-segment
+        # valid); premin's in-graph rescue slots and score16's 16-bit
+        # row-id budget are per-call machinery that cannot span
+        # segments — warn instead of silently discarding when the
+        # caller asked for them explicitly (ADVICE r4); results stay
+        # exact either way.
+        if premin_arg or score16_arg:
+            import warnings
+            warnings.warn(
+                "segmented decoded scan (n > 8.4M padded rows): "
+                "explicitly requested "
+                + "/".join([s for s, v in
+                            (("premin", premin_arg),
+                             ("score16", score16_arg)) if v])
+                + " cannot run on the segmented path and will be "
+                "ignored (results remain exact)", stacklevel=2)
         dists, ids, flagged = _scan_topk_segments(
             Q, index.Xd, index.x2, k=k, r=r, bq=bq, tile=tile,
             keep=keep, stage=stage, vmem_mb=vmem_mb,
             nfull=index.n // _SEG_DECODED, rem=index.n % _SEG_DECODED,
-            interpret=interpret)
+            interpret=interpret, qbias=qbias)
     elif premin and pack:
         # lossy pre-filter + IN-GRAPH fixed-slot exact rescue: one
         # dispatch total (the host-side rescue ladder's extra dispatch

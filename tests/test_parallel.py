@@ -259,6 +259,60 @@ def test_api_search_codes_with_mesh_matches_single(rng, mesh):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_api_search_codes_mesh_flagged_rescue_is_tiled(rng, mesh,
+                                                       monkeypatch):
+    """VERDICT r4 #1: certificate-flagged queries on the
+    api.search(mesh=, mode='codes') path must repair through the TILED
+    LUT oracle — never whole-base unpack_codes + xla_lut_scan (~4m
+    bytes/vector unpack + an (nflagged, n) score matrix => OOM at
+    n >= 1e8). Force flags with a tie-saturated base and assert (a)
+    the tiled oracle ran with bounded segment unpacks, (b) results
+    stay exact."""
+    from rayuela_tpu import api
+    from rayuela_tpu.search import scan_codes_pallas as scp
+    d, m, h, n = 16, 4, 16, 16384
+    Xt = rng.standard_normal((600, d)).astype(np.float32)
+    # 24 copies of one vector all in LANE 0 of shard 0 (rows t*128):
+    # in pack32 mode their keys are distinct (same score, ascending
+    # rid), so > r of the true top-k live in one lane -> the lane
+    # buffer (r=6) provably overflows -> certificate flags
+    Xb = rng.standard_normal((n, d)).astype(np.float32)
+    v = rng.standard_normal((d,)).astype(np.float32) * 3.0
+    for t in range(24):
+        Xb[t * 128] = v
+    Q = rng.standard_normal((4, d)).astype(np.float32)
+    Q[0] = v
+    model = api.train(Xt, method="pq", m=m, h=h, niter=3)
+    idx = api.index_base(model, Xb, mode="codes")
+    seen = []
+    orig_unpack = scp.unpack_codes
+
+    def spy_unpack(packed, mp):
+        seen.append(int(packed.shape[0]))
+        return orig_unpack(packed, mp)
+
+    monkeypatch.setattr(scp, "unpack_codes", spy_unpack)
+    orig_tiled = scp._xla_lut_scan_tiled
+    called = {}
+
+    def tiled(ix, Qj, k, dd, lut_dtype, **kwa):
+        called["yes"] = True
+        return orig_tiled(ix, Qj, k, dd, lut_dtype, qblock=2, seg=512)
+
+    monkeypatch.setattr(scp, "_xla_lut_scan_tiled", tiled)
+    s2, i2 = api.search(idx, Q, k=16, mesh=mesh, interpret=True,
+                        lut_dtype=jnp.float32, r=6, bq=8, tile=1024,
+                        pack=True)
+    assert called.get("yes"), "tie-saturated base did not flag"
+    assert seen and max(seen) <= 512      # no whole-base unpack
+    from rayuela_tpu.ops.qerror import reconstruct_pq
+    Xd = np.asarray(reconstruct_pq(jnp.asarray(model.codebooks),
+                                   jnp.asarray(idx.codes), d))
+    D = ((Q[:, None, :] - Xd[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(s2), np.sort(D, 1)[:, :16],
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_sharded_viterbi_matches_single(rng, mesh):
     """Data-parallel Viterbi (the reference's ChainQ worker farm,
     `src/ChainQ.jl:334-344`) must be code-exact vs the single-device

@@ -707,6 +707,67 @@ def test_segmented_norms_byte_matches_single(rng, monkeypatch):
                                atol=1e-3)
 
 
+def test_xla_tiled_unpacks_each_segment_once(rng, monkeypatch):
+    """ADVICE r4: the tiled oracle must slice + unpack each base
+    segment exactly ONCE (segment loop outer), not once per query
+    block — the redundancy was ~nq/qblock = ~78x at nq=1e4."""
+    from rayuela_tpu.search import scan_codes_pallas as scp
+    d, m, h, n, k = 8, 2, 8, 1000, 50
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = jnp.asarray(rng.standard_normal((6, d)).astype(np.float32))
+    idx = scp.build_codes_index(jnp.asarray(C), jnp.asarray(B),
+                                pq=True, d=d)
+    calls = []
+    orig = scp.unpack_codes
+
+    def spy(p, mp):
+        calls.append(int(p.shape[0]))
+        return orig(p, mp)
+
+    monkeypatch.setattr(scp, "unpack_codes", spy)
+    s, i = scp._xla_lut_scan_tiled(idx, Q, k, d, jnp.float32,
+                                   qblock=2, seg=300)
+    assert len(calls) == -(-n // 300), calls   # one unpack per segment
+    assert max(calls) <= 300                   # never the whole base
+    monkeypatch.setattr(scp, "unpack_codes", orig)
+    T = scp.build_luts(idx.C, Q, pq=True, d=d)
+    s0, i0 = scp.xla_lut_scan(T, scp.unpack_codes(idx.packed, m), k,
+                              lut_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_search_codes_streamed_reuses_index_across_shards(rng,
+                                                          monkeypatch):
+    """ADVICE r4: equal-shape shards must reuse ONE shard-local
+    CodesIndex (its _seg_fns trace cache is per-instance — a fresh
+    index per shard re-paid the ~0.7-1.0 s trace/lower cost)."""
+    from rayuela_tpu.search import scan_codes_pallas as scp
+    d, m, h, n, nq, k = 16, 4, 16, 4500, 4, 10
+    X, C, B = random_dataset(rng, d=d, n=n, m=m, h=h, pq=True)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    idx = scp.build_codes_index(jnp.asarray(C), jnp.asarray(B),
+                                pq=True, d=d)
+    kw = dict(interpret=True, lut_dtype=jnp.float32, r=28, bq=8,
+              tile=1024, keep=4)
+    d1, i1 = scp.search_codes(idx, jnp.asarray(Q), k, **kw)
+    count = {"n": 0}
+    orig_cls = scp.CodesIndex
+
+    class Spy(orig_cls):
+        def __init__(self, *a, **kwa):
+            count["n"] += 1
+            super().__init__(*a, **kwa)
+
+    monkeypatch.setattr(scp, "CodesIndex", Spy)
+    d2, i2 = scp.search_codes_streamed(
+        jnp.asarray(C), np.asarray(idx.packed), jnp.asarray(Q), k,
+        pq=True, d=d, shard_n=1500, **kw)
+    assert count["n"] == 1                # 3 equal shards, one index
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_search_codes_streamed_matches_resident(rng, tmp_path):
     """Host-resident packed codes streamed in shards == one resident
     index, exactly (values; ids rank-exact) — incl. from an on-disk

@@ -100,6 +100,35 @@ def test_k_validation(rng):
         run(Q, Xd, k=24 * 128 + 1, r=24, bq=4, tile=1024)
 
 
+def test_segmented_decoded_warns_on_dropped_modes(rng, monkeypatch):
+    """ADVICE r4: the segmented decoded path (n beyond the pack32
+    row-id range) cannot honor premin/score16 (per-call machinery) —
+    it must WARN when they were explicitly requested instead of
+    silently discarding them, and results must stay exact."""
+    import warnings
+
+    from rayuela_tpu.search import scan_pallas as sp
+    n, d, nq, k = 3000, 16, 4, 10
+    Xd = rng.standard_normal((n, d)).astype(np.float32)
+    Xj = jnp.asarray(Xd)
+    idx = sp.LinscanIndex(Xj, jnp.sum(Xj * Xj, -1))
+    Q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+    monkeypatch.setattr(sp, "_SEG_DECODED", 1024)   # force segmenting
+    with pytest.warns(UserWarning, match="premin"):
+        dv, di = sp.search(idx, Q, k, r=14, bq=8, tile=1024,
+                           interpret=True, pack=True, premin=1)
+    D = ((np.asarray(Q)[:, None, :] - Xd[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(dv), np.sort(D, 1)[:, :k],
+                               rtol=1e-4, atol=1e-3)
+    # implicit (auto-config) modes stay silent on the segmented path
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dv2, _ = sp.search(idx, Q, k, r=14, bq=8, tile=1024,
+                           interpret=True, pack=True)
+    np.testing.assert_allclose(np.asarray(dv2), np.asarray(dv),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_search_streamed_matches_single_shot(rng):
     """Shard-streamed search == one-shot search, exactly."""
     from rayuela_tpu.search.scan_pallas import (build_index, search,
