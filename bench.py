@@ -43,6 +43,13 @@ rep-by-rep so tunnel drift cancels (VERDICT r2 item 4).
   the interleaved ratio to the direct `search()` (>= ~1.0 shows the
   multi-chip wrapper adds no single-chip overhead — the scaling
   starting point).
+* ``codes_scan_qps_streamed_2e8_knn100`` — the beyond-HBM rung
+  (reference ``nsplits``, `src/LSQ_GPU.jl:218-264`): n=2e8 packed
+  codes living in HOST memory, streamed shard-by-shard (2 x 1e8)
+  through `search_codes_streamed` with an exact host-side merge.
+  Deliberately transfer-bound — the number is the end-to-end
+  throughput of the deployment path for bases bigger than the chip,
+  host->HBM PCIe/tunnel time included. Skipped near the time budget.
 """
 
 from __future__ import annotations
@@ -359,6 +366,47 @@ def bench_scan_100m(jax, jnp, rng, C, Q):
               f"{e})", flush=True)
 
 
+def bench_scan_streamed(jax, jnp, rng, C, Q):
+    """Beyond-HBM streamed scan: n=2e8 packed codes (1.6 GB) in HOST
+    memory, 2 equal 1e8 shards streamed through the chip per call —
+    the one (decoded|codes|LUT) x (single|sharded|streamed) scan cell
+    that had no hardware number (VERDICT r4 #4)."""
+    from rayuela_tpu.search.scan_codes_pallas import search_codes_streamed
+
+    if _remaining() < 200:
+        print(f"# streamed row skipped (budget: {_remaining():.0f}s "
+              "left)", flush=True)
+        return
+    n_big, nq_big, knn, shard = 200_000_000, 1_000, 100, 100_000_000
+    try:
+        # host-side packed codes, chunked gen (one giant rng call
+        # degrades to ~10 MB/s on this container); uniform random
+        # bytes ARE uniform random codes at h=256
+        host_packed = np.empty((n_big, M // 4), np.int32)
+        step = n_big // 8
+        for i in range(8):
+            host_packed[i * step:(i + 1) * step] = rng.integers(
+                -(1 << 31), 1 << 31, size=(step, M // 4), dtype=np.int64
+            ).astype(np.int32)
+        Qb = Q[:nq_big]
+
+        def call():
+            s, _ = search_codes_streamed(C, host_packed, Qb, knn,
+                                         pq=True, d=D, mprime=M,
+                                         shard_n=shard)
+            _ = np.asarray(s[0, :1])
+        call()                                        # compile/warm
+        dt, spread = _timed(call, reps=2)
+        qps = nq_big / dt
+        base = SCAN_BASELINE_QPS * N / n_big
+        emit("codes_scan_qps_streamed_2e8_knn100", qps, "queries/s",
+             qps / base, spread)
+        del host_packed
+    except Exception as e:
+        print(f"# streamed 2e8 scan unavailable ({type(e).__name__}: "
+              f"{e})", flush=True)
+
+
 def bench_scan_1b(jax, jnp, rng, C, Q):
     """SIFT1B-scale: the whole 8 GB packed base chip-resident, 120
     exact-merged segments (round-2 headline, now driver-captured)."""
@@ -431,6 +479,8 @@ def main():
     bench_encode(jax, jnp, rng)
     _mark("viterbi encode")
     bench_viterbi(jax, jnp, rng)
+    _mark("codes scan streamed 2e8")
+    bench_scan_streamed(jax, jnp, rng, C, Q)
     _mark("codes scan 1b")
     bench_scan_1b(jax, jnp, rng, C, Q)
     _mark("done")

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Full 9-method train/query/base protocol through the PUBLIC mesh
+facade on real hardware (VERDICT r4 #2).
+
+Runs `run_train_query_base("synthetic-corr", m=8, niter=10, mesh=...)`
+— the exact call a pod user would make — on a 1-device mesh of the
+real chip, and compares per-method recall@1 against the recorded
+MESHLESS protocol runs (BASELINE.md round-4 2-trial means/stds). The
+round-4 dryrun proved tiny-shape equality; this certifies the facade
+at protocol scale: the GSPMD-sharded methods (PQ/OPQ/RVQ/ERVQ/CompQ,
+driver `ds_g` route) and the shard_map methods (ChainQ/LSQ/SR) all
+train + encode + scan through their mesh paths.
+
+Usage: python demos/bench_mesh_protocol.py [outfile]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/rayuela_jax_cache")
+
+# BASELINE.md round-4 meshless 2-trial recall@1 (synthetic-corr, m=8,
+# h=256, niter=10, knn=1000, seed=0): mean, std
+MESHLESS = {
+    "pq": (0.1641, 0.0028),
+    "opq": (0.3355, 0.0044),
+    "rvq": (0.9992, 0.0005),
+    "ervq": (0.9990, 0.0005),
+    "chainq": (0.8728, 0.0006),
+    "lsq": (0.9974, 0.0003),
+    "sr_c": (0.9859, 0.0039),
+    "sr_d": (0.9981, 0.0003),
+    "compq": (0.9982, 0.0005),
+}
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else \
+        "/tmp/mesh_protocol.json"
+    from rayuela_tpu.experiments.drivers import run_train_query_base
+    from rayuela_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(len(jax.devices()), 1)
+    print(f"mesh: {mesh.shape}, devices: {jax.devices()}")
+    t0 = time.time()
+    res = run_train_query_base(
+        "synthetic-corr", m=8, h=256, niter=10, ntrials=1, knn=1000,
+        results_dir="/tmp/mesh_protocol_results", verbose=True,
+        seed=0, mesh=mesh)
+    wall = time.time() - t0
+
+    rows = {}
+    worst = 0.0
+    print(f"\n{'method':8s} {'mesh r@1':>9s} {'meshless':>9s} "
+          f"{'delta':>8s} {'sigmas':>7s}")
+    for method, outs in res.items():
+        r1 = float(outs[0]["recall"][0])
+        mu, sd = MESHLESS[method]
+        delta = r1 - mu
+        # trial noise floor: recall of 1e4 queries has binomial std
+        # ~sqrt(mu(1-mu)/1e4) even if the 2-trial std underestimates
+        noise = max(sd, (mu * (1 - mu) / 1e4) ** 0.5, 1e-3)
+        sig = delta / noise
+        worst = max(worst, abs(sig))
+        rows[method] = dict(mesh_r1=r1, meshless_mu=mu, meshless_sd=sd,
+                            delta=delta, sigmas=sig)
+        print(f"{method:8s} {r1:9.4f} {mu:9.4f} {delta:+8.4f} "
+              f"{sig:+7.1f}")
+    ok = worst <= 4.0
+    print(f"\nwall {wall:.0f}s; worst |sigmas| {worst:.1f} -> "
+          f"{'PARITY' if ok else 'REGRESSION'}")
+    with open(out_path, "w") as f:
+        json.dump(dict(rows=rows, wall_s=wall, worst_sigmas=worst,
+                       ok=ok, mesh_shape=dict(mesh.shape)), f, indent=1)
+    print(f"wrote {out_path}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

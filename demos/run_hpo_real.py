@@ -1,11 +1,15 @@
-"""Run the GP-surrogate HPO for real (VERDICT r2 item 9): budget ~20
-full train->encode->search evaluations on synthetic-corr-small at
-m=8, record the incumbent and its recall delta vs the default config.
+"""Run the GP-surrogate HPO for real (VERDICT r2 item 9; r4 #6 adds
+the 128-bit space): budget ~20 full train->encode->search evaluations
+on synthetic-corr-small, record the incumbent and its recall delta vs
+the default config.
 
 Reference anchor: `/root/reference/smac/configure.py:100-110` (SMAC
-over the same space, minimizing 1 - recall@1).
+over the same space, minimizing 1 - recall@1). The reference's own
+recorded incumbents diverge most from the defaults at m=16
+(`smac/test_lsq.jl:208-226`), which is why the 128-bit campaign
+matters.
 
-    timeout 3600 python demos/run_hpo_real.py /tmp/hpo_real.log
+    timeout 7200 python demos/run_hpo_real.py /tmp/hpo16.log 16 20
 """
 import sys
 import time
@@ -17,6 +21,8 @@ sys.path.insert(0, "/root/repo")
 # --xla_tpu_scoped_vmem_limit_kib escape hatch cannot be set here:
 # the local CPU XLA fatals on unknown flags in XLA_FLAGS)
 LOG = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hpo_real.log"
+M_ARG = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+BUDGET = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 _log = open(LOG, "w")
 
 
@@ -36,7 +42,9 @@ def main():
 
     log("devices:", jax.devices())
     ds = read_dataset("synthetic-corr-small")
-    m, h, niter = 8, 256, 5
+    # M_ARG = codebook count, matching the round-4 m=8 campaign row
+    m, h, niter = M_ARG, 256, 5
+    log(f"space: m={m} codebooks, budget={BUDGET}")
     obj = default_objective(ds, m, h, niter)
 
     t0 = time.time()
@@ -46,7 +54,8 @@ def main():
         f"(recall@1={1 - default_loss:.4f}) [{time.time() - t0:.0f}s]")
 
     t0 = time.time()
-    best_cfg, best_loss, hist = optimize_smac(obj, m, budget=20, seed=0)
+    best_cfg, best_loss, hist = optimize_smac(obj, m, budget=BUDGET,
+                                              seed=0)
     log(f"incumbent {best_cfg}: loss={best_loss:.4f} "
         f"(recall@1={1 - best_loss:.4f})")
     log(f"delta vs default: {default_loss - best_loss:+.4f} recall@1 "

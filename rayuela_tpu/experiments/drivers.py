@@ -341,7 +341,8 @@ def run_train_query_base(dataset: str | Dataset = "sift1m", m: int = 8,
                          ntrials: int = 1, knn: int = 1000,
                          methods=ALL_METHODS, results_dir: str = "results",
                          verbose: bool = True, seed: int = 0,
-                         resume: bool = False, mesh=None, **exp_kw):
+                         resume: bool = False, mesh=None, config=None,
+                         **exp_kw):
     """The full protocol of `demos/demos_train_query_base.jl:9-96`:
     every method at equal bits-per-vector (PQ/OPQ: m codebooks;
     non-orthogonal: m-1 + norms byte), staged OPQ→ChainQ→LSQ/SR init
@@ -356,12 +357,46 @@ def run_train_query_base(dataset: str | Dataset = "sift1m", m: int = 8,
     through the `rayuela_tpu.parallel` sharded steps — the protocol's
     expensive stages run data-parallel across the mesh's chips, the
     way the reference ran every experiment over `addprocs` workers
-    (`src/Rayuela.jl:10,31`)."""
+    (`src/Rayuela.jl:10,31`).
+
+    ``config`` selects the LSQ-family hyperparameters:
+    ``"incumbent"`` looks up the reference's SMAC-recorded incumbent
+    for ``(dataset, m)`` (`rayuela_tpu.experiments.hpo.INCUMBENTS`,
+    transcribed from `smac/test_lsq.jl:208-226`; unknown datasets fall
+    back to the defaults), or pass an ``hpo.LSQConfig`` directly
+    (e.g. your own campaign's winner). The incumbent's ilsiter /
+    icmiter / npert / randord apply to LSQ and SR; schedule / p apply
+    to SR only. Explicit keyword overrides still win."""
     import os
 
     from rayuela_tpu.experiments.store import list_trials, load_results
     ds = read_dataset(dataset) if isinstance(dataset, str) else dataset
     os.makedirs(results_dir, exist_ok=True)
+    sr_extra: dict = {}
+    if config is not None:
+        from rayuela_tpu.experiments.hpo import LSQConfig, incumbent
+        cfg = incumbent(ds.name, m) if config == "incumbent" else config
+        if not isinstance(cfg, LSQConfig):
+            raise ValueError(
+                f"config={config!r}: 'incumbent' or an hpo.LSQConfig")
+        if verbose:
+            print(f"[config] LSQ-family hyperparameters: {cfg}")
+        for k_, v_ in dict(ilsiter=cfg.ilsiter, icmiter=cfg.icmiter,
+                           npert=cfg.npert,
+                           randord=cfg.randord).items():
+            exp_kw.setdefault(k_, v_)
+        sr_extra = dict(schedule=cfg.schedule, p=cfg.p)
+    ds_g = ds
+    if mesh is not None:
+        # methods WITHOUT explicit shard_map steps (PQ/OPQ/RVQ/ERVQ/
+        # CompQ) run with Xt/Xb sharded over the ``data`` axis so GSPMD
+        # inserts the collectives for their training statistics — the
+        # same route as `api.train(mesh=)`. The explicitly-sharded
+        # methods (ChainQ + LSQ family) keep the raw dataset and shard
+        # inside their own steps.
+        from rayuela_tpu.parallel.mesh import shard_data
+        ds_g = ds._replace(Xt=shard_data(mesh, jnp.asarray(ds.Xt)),
+                           Xb=shard_data(mesh, jnp.asarray(ds.Xb)))
     results: dict = {}
     for trial in range(ntrials):
         key = jax.random.PRNGKey(seed + trial)
@@ -383,12 +418,13 @@ def run_train_query_base(dataset: str | Dataset = "sift1m", m: int = 8,
                 continue
             if method in ("pq", "opq"):
                 fn = experiment_pq if method == "pq" else experiment_opq
-                out = fn(key, ds, m, h, niter, knn, verbose, path, trial)
+                out = fn(key, ds_g, m, h, niter, knn, verbose, path,
+                         trial)
             elif method == "rvq":
-                out = experiment_rvq(key, ds, m - 1, h, niter, knn,
+                out = experiment_rvq(key, ds_g, m - 1, h, niter, knn,
                                      verbose, path, trial)
             elif method == "ervq":
-                out = experiment_ervq(key, ds, m - 1, h, niter, knn,
+                out = experiment_ervq(key, ds_g, m - 1, h, niter, knn,
                                       verbose, path, trial)
             elif method == "chainq":
                 out = experiment_chainq(key, ds, m - 1, h, niter, knn,
@@ -404,9 +440,9 @@ def run_train_query_base(dataset: str | Dataset = "sift1m", m: int = 8,
                                     verbose, path, trial,
                                     chain_init=chain_init,
                                     method=method.upper(), mesh=mesh,
-                                    **exp_kw)
+                                    **{**sr_extra, **exp_kw})
             elif method == "compq":
-                out = experiment_compq(key, ds, m - 1, h, niter, knn,
+                out = experiment_compq(key, ds_g, m - 1, h, niter, knn,
                                        verbose, path, trial)
             else:
                 raise ValueError(f"unknown method {method!r}")
