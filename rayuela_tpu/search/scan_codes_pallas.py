@@ -1675,13 +1675,26 @@ def search_codes_streamed(C, B_packed, Q, k: int, *,
     # per shard: the per-instance _seg_fns trace cache survives across
     # equal-shape shards (a fresh index per shard paid the ~0.7-1.0 s
     # trace/lower cost once per shard — ADVICE r4); replacing .packed
-    # also releases the previous shard's device buffer
+    # also releases the previous shard's device buffer.
+    # The NEXT shard's host->device transfer is issued BEFORE the
+    # current shard's scan (jax.device_put is async), so transfer
+    # overlaps compute — the streamed path is transfer-bound, and
+    # serialized put->scan->put left the DMA link idle during every
+    # scan. Peak device memory: 2 shards resident (current + inflight).
     idx_by_shape: dict = {}
     nc = None if norms_cbook is None else jnp.asarray(norms_cbook)
-    for start in range(0, n, shard_n):
-        stop = min(start + shard_n, n)
-        pk = jax.device_put(jnp.asarray(np.ascontiguousarray(
-            B_packed[start:stop])))
+    bounds = [(st, min(st + shard_n, n))
+              for st in range(0, n, shard_n)]
+
+    def put(j):
+        a, b = bounds[j]
+        return jax.device_put(np.ascontiguousarray(B_packed[a:b]))
+
+    pk_next = put(0)
+    for j, (start, stop) in enumerate(bounds):
+        pk = pk_next
+        if j + 1 < len(bounds):
+            pk_next = put(j + 1)           # async prefetch
         idx = idx_by_shape.get(pk.shape)
         if idx is None:
             idx = CodesIndex(pk, mp, Cj, pq=pq, d=d, norms_cbook=nc)
