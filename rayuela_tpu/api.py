@@ -277,6 +277,35 @@ def search(index: MCQIndex, Q, k: int = 100, mesh=None,
     return scan_pallas.search(index.scan_index, Q, k, **kw)
 
 
+def search_streamed(model: MCQModel, B_packed, Q, k: int = 100,
+                    norms_cbook=None, mprime: int | None = None,
+                    shard_n: int = 100_000_000,
+                    **kw) -> tuple[Array, Array]:
+    """Top-k ADC search over a base TOO LARGE for device memory: the
+    packed codes stay in HOST memory (a numpy array or an `np.memmap`
+    over an on-disk code file, `scan_codes_pallas.pack_codes` layout —
+    norms byte included for additive methods) and stream through the
+    chip shard by shard with an exact host-side merge; the next
+    shard's transfer is prefetched behind the current shard's scan.
+
+    The facade rung of the memory-tiling ladder above
+    ``index_base(mode="codes")`` (reference ``nsplits``,
+    `src/LSQ_GPU.jl:218-264`): one chip holds ~1e9 codes resident;
+    this extends to bases bounded only by host RAM/disk. Rotates
+    queries for OPQ/ChainQ models like `search`."""
+    from rayuela_tpu.search import scan_codes_pallas
+
+    Q = jnp.asarray(Q)
+    if model.R is not None and model.method in ("opq", "chainq"):
+        Q = jnp.matmul(Q, model.R, preferred_element_type=jnp.float32)
+    if jax.default_backend() == "cpu":
+        kw.setdefault("interpret", True)
+        kw.setdefault("lut_dtype", jnp.float32)
+    return scan_codes_pallas.search_codes_streamed(
+        model.codebooks, B_packed, Q, k, pq=model.pq_layout,
+        norms_cbook=norms_cbook, mprime=mprime, shard_n=shard_n, **kw)
+
+
 # ---------------------------------------------------------------------------
 # Persistence: HDF5 save/load for models and indexes
 # ---------------------------------------------------------------------------

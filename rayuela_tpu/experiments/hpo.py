@@ -83,21 +83,40 @@ def default_objective(ds, m: int, h: int, niter: int, seed: int = 0,
         kw = dict(niter=niter, knn=knn, verbose=False,
                   ilsiter=cfg.ilsiter, icmiter=cfg.icmiter,
                   npert=cfg.npert, randord=cfg.randord)
-        try:
-            if cfg.method == "LSQ":
-                out = experiment_lsq(key, ds, m, h, **kw)
-            else:
-                out = experiment_sr(key, ds, m, h, method=cfg.method,
-                                    schedule=cfg.schedule, p=cfg.p,
-                                    **kw)
-        except Exception as e:  # crashed run = worst loss (SMAC's
-            # convention for failed configs; e.g. an XLA scoped-vmem
-            # placement overflow at an exotic (ilsiter, icmiter) shape
-            # must not kill a 20-eval campaign)
-            print(f"[hpo] config crashed ({type(e).__name__}: "
-                  f"{str(e)[:120]}); loss=1.0")
-            return 1.0
-        return float(1.0 - out["recall"][0])
+        # transient environment failures (the axon tunnel's erratic
+        # remote-compile drops: "read body: response body closed", or
+        # plain connection resets) are NOT the config's fault — retry
+        # before applying the crashed-config penalty. Found round 5:
+        # a tunnel flake scored the m=16 DEFAULT config loss=1.0,
+        # which would have poisoned the whole campaign's baseline.
+        _TRANSIENT = ("remote_compile", "read body", "Connection",
+                      "DEADLINE_EXCEEDED", "UNAVAILABLE")
+        for attempt in range(3):
+            try:
+                if cfg.method == "LSQ":
+                    out = experiment_lsq(key, ds, m, h, **kw)
+                else:
+                    out = experiment_sr(key, ds, m, h,
+                                        method=cfg.method,
+                                        schedule=cfg.schedule, p=cfg.p,
+                                        **kw)
+                return float(1.0 - out["recall"][0])
+            except Exception as e:  # noqa: BLE001
+                msg = f"{type(e).__name__}: {str(e)[:160]}"
+                if (attempt < 2
+                        and any(t in str(e) for t in _TRANSIENT)):
+                    print(f"[hpo] transient failure ({msg}); "
+                          f"retry {attempt + 1}/2")
+                    import time as _time
+                    _time.sleep(20.0 * (attempt + 1))
+                    continue
+                # genuine crashed run = worst loss (SMAC's convention
+                # for failed configs; e.g. an XLA scoped-vmem
+                # placement overflow at an exotic (ilsiter, icmiter)
+                # shape must not kill a 20-eval campaign)
+                print(f"[hpo] config crashed ({msg}); loss=1.0")
+                return 1.0
+        return 1.0
 
     return objective
 

@@ -85,6 +85,27 @@ def test_save_load_roundtrip(rng, tmp_path):
         assert (np.asarray(i3) < 800).all()
 
 
+def test_api_search_streamed_matches_resident(rng):
+    """`api.search_streamed` (beyond-HBM facade rung): host-resident
+    packed codes streamed in shards == the resident codes index, for
+    PQ and for an additive model with the norms byte."""
+    import rayuela_tpu.api as rq
+    Xt = rng.standard_normal((600, 32)).astype(np.float32)
+    Xb = rng.standard_normal((800, 32)).astype(np.float32)
+    Q = Xb[:10] + 0.01 * rng.standard_normal((10, 32)).astype(np.float32)
+
+    for method in ("pq", "rvq"):
+        model = rq.train(Xt, method=method, m=4, h=16, niter=4)
+        idx = rq.index_base(model, Xb, mode="codes")
+        d1, i1 = rq.search(idx, Q, k=15)
+        d2, i2 = rq.search_streamed(
+            model, np.asarray(idx.scan_index.packed), Q, k=15,
+            norms_cbook=idx.norms_codebook,
+            mprime=idx.scan_index.mprime, shard_n=300)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   rtol=1e-4, atol=1e-3)
+
+
 def test_codes_mode_index_and_search(rng):
     """mode='codes' end-to-end through the facade: PQ layout and an
     additive method with quantized-norms byte."""

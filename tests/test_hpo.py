@@ -100,3 +100,39 @@ def test_incumbent_lookup_aliases():
     # explicit icmiter overrides the 32//ilsiter coupling
     assert INCUMBENTS[("deep1m", 16)].icmiter == 2
     assert LSQConfig(ilsiter=8).icmiter == 4
+
+
+def test_objective_retries_transient_env_failures(monkeypatch):
+    """A tunnel/compile flake must be retried, not scored as a crashed
+    config (round 5: a remote-compile drop scored the m=16 DEFAULT
+    config loss=1.0, poisoning the campaign baseline); a genuine
+    non-transient crash still gets the loss=1.0 penalty."""
+    import time
+
+    import numpy as np
+
+    from rayuela_tpu.experiments import drivers
+    from rayuela_tpu.experiments.hpo import LSQConfig, default_objective
+
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "INTERNAL: remote_compile: read body: response body "
+                "closed before all bytes were read")
+        return {"recall": np.array([0.7])}
+
+    monkeypatch.setattr(drivers, "experiment_sr", flaky)
+    obj = default_objective(object(), 4, 16, 2)
+    assert abs(obj(LSQConfig()) - 0.3) < 1e-6
+    assert calls["n"] == 2
+
+    def hard_crash(*a, **k):
+        raise ValueError("shape mismatch")          # config's fault
+
+    monkeypatch.setattr(drivers, "experiment_sr", hard_crash)
+    obj = default_objective(object(), 4, 16, 2)
+    assert obj(LSQConfig()) == 1.0
