@@ -89,8 +89,13 @@ def default_objective(ds, m: int, h: int, niter: int, seed: int = 0,
         # before applying the crashed-config penalty. Found round 5:
         # a tunnel flake scored the m=16 DEFAULT config loss=1.0,
         # which would have poisoned the whole campaign's baseline.
-        _TRANSIENT = ("remote_compile", "read body", "Connection",
-                      "DEADLINE_EXCEEDED", "UNAVAILABLE")
+        # NOT transient: "tpu_compile_helper subprocess exit code"
+        # (HTTP 500 through the same remote_compile URL) — that is the
+        # compiler itself crashing on the config's shapes,
+        # deterministic, and each doomed attempt costs ~10 min.
+        _TRANSIENT = ("read body", "Connection", "DEADLINE_EXCEEDED",
+                      "UNAVAILABLE", "response body closed")
+        _HARD = ("tpu_compile_helper",)
         for attempt in range(3):
             try:
                 if cfg.method == "LSQ":
@@ -104,6 +109,7 @@ def default_objective(ds, m: int, h: int, niter: int, seed: int = 0,
             except Exception as e:  # noqa: BLE001
                 msg = f"{type(e).__name__}: {str(e)[:160]}"
                 if (attempt < 2
+                        and not any(t in str(e) for t in _HARD)
                         and any(t in str(e) for t in _TRANSIENT)):
                     print(f"[hpo] transient failure ({msg}); "
                           f"retry {attempt + 1}/2")
