@@ -49,7 +49,9 @@ rep-by-rep so tunnel drift cancels (VERDICT r2 item 4).
   through `search_codes_streamed` with an exact host-side merge.
   Deliberately transfer-bound — the number is the end-to-end
   throughput of the deployment path for bases bigger than the chip,
-  host->HBM PCIe/tunnel time included. Skipped near the time budget.
+  host->HBM PCIe/tunnel time included. Runs LAST (after the 1b row:
+  one rep is ~40 s of pure transfer) and degrades to 1 rep / skips
+  near the time budget.
 """
 
 from __future__ import annotations
@@ -70,8 +72,8 @@ START = time.monotonic()
 # budget (r03 died at rc=124 with the 1e8/1e9 rows unemitted), so the
 # bench must degrade gracefully inside a budget of its own: the 1e8
 # row runs EARLY (right after the m8 codes rows), later sections drop
-# to reps=1 when behind, and the 1e9 row (8 GB device_put ≈ 140 s
-# through the tunnel) runs last only if enough budget remains.
+# to reps=1 when behind, the 1e9 row runs only if enough budget
+# remains, and the streamed row (1.6 GB host->HBM per rep) runs LAST.
 # default 780 s: the r03 driver kill happened somewhere past the 10th
 # row — staying clearly under the driver's own (unpublished) budget
 # means WE decide what to skip, not SIGKILL
@@ -396,7 +398,10 @@ def bench_scan_streamed(jax, jnp, rng, C, Q):
                                          shard_n=shard)
             _ = np.asarray(s[0, :1])
         call()                                        # compile/warm
-        dt, spread = _timed(call, reps=2)
+        # each rep streams 1.6 GB host->HBM (~40 s through this
+        # tunnel): drop to one rep when the budget is tight — this
+        # row runs LAST so it can only cost itself
+        dt, spread = _timed(call, reps=2 if _remaining() > 120 else 1)
         qps = nq_big / dt
         base = SCAN_BASELINE_QPS * N / n_big
         emit("codes_scan_qps_streamed_2e8_knn100", qps, "queries/s",
@@ -479,10 +484,10 @@ def main():
     bench_encode(jax, jnp, rng)
     _mark("viterbi encode")
     bench_viterbi(jax, jnp, rng)
-    _mark("codes scan streamed 2e8")
-    bench_scan_streamed(jax, jnp, rng, C, Q)
     _mark("codes scan 1b")
     bench_scan_1b(jax, jnp, rng, C, Q)
+    _mark("codes scan streamed 2e8")
+    bench_scan_streamed(jax, jnp, rng, C, Q)
     _mark("done")
 
 
