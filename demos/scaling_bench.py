@@ -40,6 +40,11 @@ def main():
               f"{args.force_cpu_devices}").strip()
         import jax
         jax.config.update("jax_platforms", "cpu")
+        try:  # newer images ignore the XLA_FLAGS route (see conftest)
+            jax.config.update("jax_num_cpu_devices",
+                              args.force_cpu_devices)
+        except Exception:
+            pass
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -20,6 +20,14 @@ import jax  # noqa: E402
 # The container's sitecustomize imports jax and registers the axon TPU
 # backend before conftest runs, so the env var alone is not enough.
 jax.config.update("jax_platforms", "cpu")
+# Newer jax/axon images drop `--xla_force_host_platform_device_count`
+# from XLA_FLAGS handling entirely (jax is pre-imported before user
+# env applies); `jax_num_cpu_devices` is the supported route. Without
+# this, every `devices8` test silently SKIPS instead of running.
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # backends already initialized (e.g. pytest re-entry)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
