@@ -50,3 +50,29 @@ def test_doc_drift_check_passes():
         [sys.executable, str(ROOT / "tools" / "check_doc_drift.py")],
         capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_graft_entry_forces_cpu_devices_without_env():
+    """The driver's `dryrun_multichip` contract must not depend on env
+    vars: images whose sitecustomize pre-imports jax with a TPU plugin
+    ignore `JAX_PLATFORMS=cpu`, and newer jax drops the XLA
+    device-count flag. `ensure_cpu_devices` must yield >= n virtual
+    CPU devices from a CLEAN environment (regression: round 5 found
+    every devices8 test silently skipping on such an image)."""
+    import os
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
+                        "RAYUELA_DRYRUN_REAL")}
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from __graft_entry__ import ensure_cpu_devices; "
+        "ensure_cpu_devices(8); import jax; "
+        "devs = jax.devices(); "
+        "assert len(devs) >= 8, devs; "
+        "assert devs[0].platform == 'cpu', devs; "
+        "print('cpu8 ok')" % str(ROOT))
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert "cpu8 ok" in out.stdout
